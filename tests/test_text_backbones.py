@@ -1,0 +1,152 @@
+"""Parity tests for the text-side backbones: the masked-scan bi-LSTM must
+reproduce torch's packed-sequence LSTM (the DAMSM RNN_ENCODER semantics,
+text_relevance/encoders.py:88-114), and the CLIP attention block must match
+torch.nn.MultiheadAttention."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tise_tpu.backbones import clip_tokenizer, clip_vit, damsm
+
+torch = pytest.importorskip("torch")
+
+
+class TestBiLSTM:
+    def _make_torch_lstm(self, e, h, seed=0):
+        torch.manual_seed(seed)
+        return torch.nn.LSTM(e, h, 1, batch_first=True, bidirectional=True)
+
+    def _params_from_torch(self, lstm):
+        sd = {f"rnn.{k}": v for k, v in lstm.state_dict().items()}
+        sd["encoder.weight"] = torch.zeros(1, 1)  # unused here
+        p = damsm.rnn_params_from_torch(sd)
+        return {"params": p["params"]["bilstm"]}
+
+    def test_matches_packed_torch_lstm(self, rng):
+        e, h, b, t = 12, 8, 5, 9
+        lstm = self._make_torch_lstm(e, h)
+        lengths = np.array([9, 7, 5, 3, 1])
+        x = rng.randn(b, t, e).astype(np.float32)
+
+        # torch packed path (reference semantics, encoders.py:95-104)
+        xt = torch.from_numpy(x)
+        packed = torch.nn.utils.rnn.pack_padded_sequence(xt, lengths.tolist(), batch_first=True)
+        with torch.no_grad():
+            out_packed, (h_n, _) = lstm(packed)
+        out_ref, _ = torch.nn.utils.rnn.pad_packed_sequence(out_packed, batch_first=True, total_length=t)
+        out_ref = out_ref.numpy()
+        sent_ref = h_n.transpose(0, 1).contiguous().view(b, -1).numpy()
+
+        model = damsm.BiLSTM(hidden=h)
+        params = self._params_from_torch(lstm)
+        out, h_final = model.apply(params, jnp.asarray(x), jnp.asarray(lengths))
+        np.testing.assert_allclose(np.asarray(out), out_ref, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(h_final), sent_ref, rtol=1e-4, atol=1e-5)
+
+    def test_rnn_encoder_shapes(self):
+        model = damsm.RNNEncoder(ntoken=50)
+        caps = jnp.array([[1, 2, 3, 0, 0], [4, 5, 0, 0, 0]], jnp.int32)
+        lens = jnp.array([3, 2])
+        params = model.init(jax.random.PRNGKey(0), caps, lens)
+        words, sent = model.apply(params, caps, lens)
+        assert words.shape == (2, 256, 5)
+        assert sent.shape == (2, 256)
+        # padded positions must be zero (pad_packed parity)
+        np.testing.assert_allclose(np.asarray(words)[0, :, 3:], 0.0, atol=1e-7)
+
+
+class TestClipAttention:
+    def test_matches_torch_mha(self, rng):
+        d, heads, b, t = 16, 4, 2, 5
+        torch.manual_seed(1)
+        mha = torch.nn.MultiheadAttention(d, heads, batch_first=True)
+        x = rng.randn(b, t, d).astype(np.float32)
+        with torch.no_grad():
+            ref, _ = mha(torch.from_numpy(x), torch.from_numpy(x), torch.from_numpy(x))
+        ref = ref.numpy()
+
+        sd = mha.state_dict()
+        params = {
+            "params": {
+                "in_proj": {
+                    "kernel": sd["in_proj_weight"].numpy().T,
+                    "bias": sd["in_proj_bias"].numpy(),
+                },
+                "out_proj": {
+                    "kernel": sd["out_proj.weight"].numpy().T,
+                    "bias": sd["out_proj.bias"].numpy(),
+                },
+            }
+        }
+        model = clip_vit.MultiHeadAttention(width=d, heads=heads)
+        out = model.apply(params, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+    def test_causal_mask(self, rng):
+        """With a causal mask, output at position k must not depend on
+        positions > k."""
+        d, heads, t = 8, 2, 6
+        model = clip_vit.MultiHeadAttention(width=d, heads=heads)
+        x = rng.randn(1, t, d).astype(np.float32)
+        params = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        mask = jnp.triu(jnp.full((t, t), -jnp.inf, jnp.float32), k=1)
+        out1 = np.asarray(model.apply(params, jnp.asarray(x), mask))
+        x2 = x.copy()
+        x2[0, -1] += 10.0  # perturb the last position only
+        out2 = np.asarray(model.apply(params, jnp.asarray(x2), mask))
+        np.testing.assert_allclose(out1[0, :-1], out2[0, :-1], rtol=1e-5, atol=1e-6)
+
+
+class TestClipModel:
+    def test_shapes_and_logits(self, rng):
+        params = clip_vit.random_params(jax.random.PRNGKey(0))
+        model = clip_vit.CLIP()
+        imgs = jnp.asarray(rng.rand(2, 224, 224, 3).astype(np.float32))
+        toks = jnp.asarray(rng.randint(1, 49408, (3, 77)).astype(np.int32))
+        li, lt = model.apply(params, imgs, toks)
+        assert li.shape == (2, 3)
+        assert lt.shape == (3, 2)
+        np.testing.assert_allclose(np.asarray(li), np.asarray(lt).T, rtol=1e-5)
+
+    def test_eot_pooling_uses_argmax_token(self, rng):
+        """Changing tokens after the EOT position must not change the text
+        embedding (causal mask + argmax pooling)."""
+        params = clip_vit.random_params(jax.random.PRNGKey(0))
+        model = clip_vit.CLIP()
+        toks = np.zeros((1, 77), np.int32)
+        toks[0, :5] = [400, 10, 11, 12, 49407]  # EOT = highest id at pos 4
+        e1 = model.apply(params, jnp.asarray(toks), method=model.encode_text)
+        toks2 = toks.copy()
+        toks2[0, 6] = 123  # past EOT; stays below the argmax
+        e2 = model.apply(params, jnp.asarray(toks2), method=model.encode_text)
+        np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), rtol=1e-5, atol=1e-6)
+
+
+class TestTokenizer:
+    def _make_vocab(self, tmp_path):
+        # tiny synthetic merge table exercising the BPE machinery
+        merges = ["#version: 0.2", "t h", "th e</w>", "a n", "an d</w>", "c a", "ca t</w>"]
+        path = tmp_path / "bpe.txt"
+        path.write_text("\n".join(merges + [""] * 5))
+        return str(path)
+
+    def test_round_trip(self, tmp_path):
+        tok = clip_tokenizer.SimpleTokenizer(self._make_vocab(tmp_path))
+        ids = tok.encode("the cat and the hat")
+        assert tok.decode(ids).strip() == "the cat and the hat"
+
+    def test_tokenize_shape_and_framing(self, tmp_path):
+        tok = clip_tokenizer.SimpleTokenizer(self._make_vocab(tmp_path))
+        out = tok.tokenize(["a cat", "the cat and the hat sat"])
+        assert out.shape == (2, 77)
+        assert (out[:, 0] == tok.sot).all()
+        for row in out:
+            nz = row[row != 0]
+            assert nz[-1] == tok.eot
+
+    def test_merges_apply(self, tmp_path):
+        tok = clip_tokenizer.SimpleTokenizer(self._make_vocab(tmp_path))
+        # "the" must merge to a single token via (t,h) then (th,e</w>)
+        assert len(tok.encode("the")) == 1

@@ -1,0 +1,69 @@
+"""Batched CLIP image-vs-caption-set scorer shared by RP (COCO) and PA.
+
+The reference scores one image against its caption set per forward
+(RP_coco.py:60-76 — 1 image x 100 texts, batch size 1; PA.py:33-43 — 1 image
+x 2 texts).  Here a whole block of items runs per pjit step: images
+[B, 224, 224, 3] and per-item token sets [B, K, 77] produce the [B, K] logit
+matrix in one sharded forward — the per-item diagonal of the image/text
+similarity, exactly what ``model(image, text)`` yields item-wise.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tise_tpu.backbones import clip_vit
+from tise_tpu.core.mesh import make_mesh
+from tise_tpu.ops.preprocess import normalize
+
+
+class ClipPairScorer:
+    """jit-compiled (images, token sets) -> per-item caption logits."""
+
+    def __init__(self, params, mesh: Optional[Mesh] = None, dtype=jnp.float32):
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.params = params
+        model = clip_vit.CLIP(dtype=dtype)
+        data = self.mesh.axis_names[0]
+
+        def fwd(p, images_u8, tokens):
+            # images_u8: [B, 224, 224, 3]; tokens: [B, K, 77]
+            b, k, t = tokens.shape
+            x = normalize(images_u8, "clip")
+            img = model.apply(p, x, method=model.encode_image)
+            txt = model.apply(p, tokens.reshape(b * k, t), method=model.encode_text)
+            txt = txt.reshape(b, k, -1)
+            img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+            txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
+            scale = jnp.exp(p["params"]["logit_scale"].astype(jnp.float32))
+            return scale * jnp.einsum("bd,bkd->bk", img.astype(jnp.float32), txt.astype(jnp.float32))
+
+        self._fwd = jax.jit(
+            fwd,
+            in_shardings=(
+                NamedSharding(self.mesh, P()),
+                NamedSharding(self.mesh, P(data)),
+                NamedSharding(self.mesh, P(data)),
+            ),
+            out_shardings=NamedSharding(self.mesh, P(data)),
+        )
+
+    @property
+    def data_parallel(self) -> int:
+        return self.mesh.shape[self.mesh.axis_names[0]]
+
+    def logits(self, images_u8: np.ndarray, tokens: np.ndarray) -> np.ndarray:
+        """[B, 224, 224, 3] uint8 + [B, K, 77] int32 -> [B, K] float32."""
+        b = images_u8.shape[0]
+        dp = self.data_parallel
+        pad = (-b) % dp
+        if pad:
+            images_u8 = np.concatenate([images_u8, np.zeros((pad,) + images_u8.shape[1:], images_u8.dtype)])
+            tokens = np.concatenate([tokens, np.zeros((pad,) + tokens.shape[1:], tokens.dtype)])
+        out = np.asarray(jax.device_get(self._fwd(self.params, images_u8, tokens)))
+        return out[:b]

@@ -1,0 +1,67 @@
+"""Object cropping — stage 1 of the O-metrics (reference: object_fidelity/crop_object.py).
+
+Runs the detector (Mask R-CNN R50-FPN, score threshold 0.5,
+crop_object.py:18-22) over a folder of generated images and writes every
+detected box as ``<img>_<class>_<count>.png`` crops (:25-46; ``count`` is a
+global running index across the whole folder).  The crops feed O-IS and O-FID.
+
+The detector is the pluggable interface from tise_tpu.backbones.detection —
+a sharded static-shape TPU Mask R-CNN (or any callable with the same
+signature).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Callable, Dict, List, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+from tise_tpu.backbones.detection.coco_classes import COCO_CLASSES
+
+
+def crop_folder(
+    detector,
+    src_dir: str,
+    dest_dir: str,
+    *,
+    class_names: Sequence[str] = COCO_CLASSES,
+) -> int:
+    """Detect + crop every image; returns number of crops written."""
+    files = [os.path.join(src_dir, f) for f in sorted(os.listdir(src_dir))]
+    os.makedirs(dest_dir, exist_ok=True)
+    count = 0
+    preds = detector(files)
+    for path in files:
+        names, ids, boxes = preds[path]
+        if len(ids) == 0:
+            continue
+        with Image.open(path) as im:
+            im = im.convert("RGB")
+            stem = os.path.basename(path).split(".")[0]
+            for cls_id, box in zip(ids, boxes):
+                crop = im.crop(tuple(float(v) for v in box))
+                cls_name = class_names[int(cls_id)]
+                crop.save(os.path.join(dest_dir, f"{stem}_{cls_name}_{count}.png"))
+                count += 1
+    return count
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--source_image_dir", default="", type=str)
+    p.add_argument("--saved_cropped_object_dir", default="", type=str)
+    p.add_argument("--weights", type=str, default=None, help="Mask R-CNN weights")
+    args = p.parse_args(argv)
+
+    from tise_tpu.backbones.detection import predictor as det
+
+    detector = det.make_folder_detector(args.weights)
+    n = crop_folder(detector, args.source_image_dir, args.saved_cropped_object_dir)
+    print(f"wrote {n} crops to {args.saved_cropped_object_dir}")
+
+
+if __name__ == "__main__":
+    main()

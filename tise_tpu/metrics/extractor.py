@@ -1,0 +1,87 @@
+"""Sharded feature-extraction engine.
+
+Every metric's hot loop is the same shape: stream uint8 batches from an image
+folder, run a backbone forward, collect features/logits.  The reference does
+this with a per-metric torch DataLoader + ``.cuda()`` copies
+(fid_score.py:99-113); here it is one engine: a pjit-compiled forward whose
+batch axis is sharded over the ``data`` mesh axis, with the host prefetch
+pipeline double-buffering uint8 batches into device memory.  The normalize
+recipe is fused into the jitted forward so the device reads uint8 (4x less
+PCIe/DMA traffic than float32).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Iterable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tise_tpu.core.data import Batch, ImageFolderLoader
+from tise_tpu.core.mesh import make_mesh
+from tise_tpu.ops.preprocess import normalize
+
+
+class BatchedExtractor:
+    """jit + shard a (params, uint8 batch) -> {name: features} forward."""
+
+    def __init__(
+        self,
+        apply_fn: Callable[..., Dict[str, jax.Array]],
+        params,
+        *,
+        recipe: str,
+        mesh: Optional[Mesh] = None,
+        donate: bool = False,
+    ):
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.params = params
+        data_axis = self.mesh.axis_names[0]
+
+        def fwd(params, images_u8):
+            x = normalize(images_u8, recipe)
+            return apply_fn(params, x)
+
+        batch_sharding = NamedSharding(self.mesh, P(data_axis, None, None, None))
+        self._batch_sharding = batch_sharding
+        self._fwd = jax.jit(
+            fwd,
+            in_shardings=(NamedSharding(self.mesh, P()), batch_sharding),
+            out_shardings=NamedSharding(self.mesh, P(data_axis)),
+            donate_argnums=(1,) if donate else (),
+        )
+
+    @property
+    def data_parallel(self) -> int:
+        return self.mesh.shape[self.mesh.axis_names[0]]
+
+    def __call__(self, images_u8: np.ndarray) -> Dict[str, jax.Array]:
+        x = jax.device_put(images_u8, self._batch_sharding)
+        return self._fwd(self.params, x)
+
+    def run(self, loader: Iterable[Batch], keys: Optional[Sequence[str]] = None) -> Dict[str, np.ndarray]:
+        """Drain a loader; returns host arrays with padding rows removed.
+
+        Double-buffered: batch k+1 is dispatched before batch k's results are
+        pulled, so host transfer/compute overlap device compute.
+        """
+        pending: List[tuple] = []
+        chunks: Dict[str, List[np.ndarray]] = {}
+
+        def collect(out: Dict[str, jax.Array], mask: np.ndarray) -> None:
+            for name, val in out.items():
+                if keys is not None and name not in keys:
+                    continue
+                arr = np.asarray(jax.device_get(val))
+                chunks.setdefault(name, []).append(arr[mask])
+
+        for batch in loader:
+            out = self(batch.images)
+            pending.append((out, batch.mask))
+            if len(pending) > 1:
+                collect(*pending.pop(0))
+        while pending:
+            collect(*pending.pop(0))
+        return {k: np.concatenate(v, axis=0) for k, v in chunks.items()}

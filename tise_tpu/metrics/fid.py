@@ -1,0 +1,128 @@
+"""FID — Fréchet Inception Distance (reference: image_realism/FID/fid_score.py).
+
+Pipeline parity:
+  folder -> PIL resize 299 bilinear (transforms.Resize, fid_score.py:208-213)
+         -> [0,1] -> TTUR renormalization (inception.py:120-124, fused)
+         -> InceptionV3 pool3 (2048)  [sharded pjit forward]
+         -> mean / covariance         (np.mean / np.cov, fid_score.py:194-195)
+  FID = ||mu1-mu2||^2 + Tr(C1 + C2 - 2 sqrt(C1 C2))   (fid_score.py:121-171)
+
+Either path may be a cached ``.npz`` with ``mu``/``sigma`` (fid_score.py:200-203).
+``legacy_compat`` reproduces the reference's drop_last tail-batch discard
+(fid_score.py:216); the default keeps every image (padded + masked batches).
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+from tise_tpu.backbones import inception_v3
+from tise_tpu.core import io as result_io
+from tise_tpu.core.data import ImageFolderLoader
+from tise_tpu.core.mesh import make_mesh
+from tise_tpu.metrics.extractor import BatchedExtractor
+from tise_tpu.ops import sqrtm, stats
+
+
+def make_pool3_extractor(params, mesh=None, dtype=None) -> BatchedExtractor:
+    model = inception_v3.InceptionV3(dtype=dtype or jax.numpy.float32)
+
+    def apply_fn(p, x):
+        return model.apply(p, x, endpoints=("pool3",))
+
+    return BatchedExtractor(apply_fn, params, recipe="fid", mesh=mesh)
+
+
+def compute_statistics_of_path(
+    path: str,
+    extractor: Optional[BatchedExtractor],
+    batch_size: int = 64,
+    *,
+    legacy_compat: bool = False,
+    streaming: bool = False,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """mu/sigma of a folder (or load a cached npz).  Mirrors
+    fid_score.py:199-220."""
+    if path.endswith(".npz"):
+        return result_io.load_stats_npz(path)
+    assert extractor is not None
+    loader = ImageFolderLoader.from_dir(path, batch_size, 299, drop_last=legacy_compat)
+    acts = extractor.run(loader, keys=("pool3",))["pool3"]
+    if streaming:
+        # device-side sufficient statistics (for very large sets); the default
+        # follows the reference and does float64 host covariance on raw acts.
+        import jax.numpy as jnp
+
+        state = stats.init_moments(acts.shape[1])
+        state = stats.update_moments(state, jnp.asarray(acts))
+        return stats.finalize_moments(state)
+    return stats.exact_stats(acts)
+
+
+def calculate_fid_given_paths(
+    path1: str,
+    path2: str,
+    params,
+    batch_size: int = 64,
+    *,
+    mesh=None,
+    legacy_compat: bool = False,
+    sqrtm_method: str = "scipy",
+) -> float:
+    extractor = None
+    if not (path1.endswith(".npz") and path2.endswith(".npz")):
+        extractor = make_pool3_extractor(params, mesh=mesh)
+    m1, s1 = compute_statistics_of_path(path1, extractor, batch_size, legacy_compat=legacy_compat)
+    m2, s2 = compute_statistics_of_path(path2, extractor, batch_size, legacy_compat=legacy_compat)
+    return sqrtm.frechet_distance(m1, s1, m2, s2, method=sqrtm_method)
+
+
+def load_params(weights_path: Optional[str]):
+    """Load converted torchvision weights (npz pytree or torch .pth)."""
+    from tise_tpu.core import weights as weights_io
+
+    if weights_path is None:
+        raise SystemExit(
+            "FID needs InceptionV3 weights: pass --weights pointing to a "
+            "torchvision inception_v3 state_dict (.pth) or a converted .npz "
+            "(see tise_tpu/core/weights.py)."
+        )
+    return weights_io.load_inception_params(weights_path)
+
+
+def main(argv=None) -> None:
+    # CLI-compatible flag surface (fid_score.py:51-64) + TPU additions.
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--dims", type=int, default=2048, choices=[2048])
+    p.add_argument("-c", "--gpu", default="", type=str, help="ignored (TPU build)")
+    p.add_argument("--path1", type=str, required=True)
+    p.add_argument("--path2", type=str, required=True)
+    p.add_argument("--saved_file", type=str, default="")
+    p.add_argument("--weights", type=str, default=None, help="inception weights (.pth/.npz)")
+    p.add_argument("--legacy-compat", action="store_true", help="reproduce drop_last tail discard")
+    p.add_argument("--sqrtm", type=str, default="scipy", choices=["scipy", "eigh", "ns"])
+    args = p.parse_args(argv)
+
+    params = None
+    if not (args.path1.endswith(".npz") and args.path2.endswith(".npz")):
+        params = load_params(args.weights)
+    fid_value = calculate_fid_given_paths(
+        args.path1,
+        args.path2,
+        params,
+        args.batch_size,
+        legacy_compat=args.legacy_compat,
+        sqrtm_method=args.sqrtm,
+    )
+    if args.saved_file:
+        result_io.write_fid_result(args.saved_file, fid_value)
+    print(f"FID: {fid_value}")
+
+
+if __name__ == "__main__":
+    main()

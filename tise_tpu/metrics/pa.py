@@ -1,0 +1,106 @@
+"""PA — Positional Alignment (reference: positional_alignment/PA.py).
+
+Input pickle: {positional_word: [ {caption, false_caption, caption_id}, ... ]}
+(README.md:140-154).  Per item, CLIP scores the caption against the
+``false_caption`` (the same sentence with the positional word swapped); the
+item succeeds iff P(gt) > 0.6 after a 2-way softmax (PA.py:33-43).  The final
+PA is the unweighted mean of per-phrase success rates (:67).
+
+Images live at ``<image_dir>/<phrase>/<caption_id>.png`` (:56-60).
+TPU redesign: items are scored in [B, 2]-caption blocks per pjit step.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from tise_tpu.backbones.clip_tokenizer import SimpleTokenizer
+from tise_tpu.core import io as result_io
+from tise_tpu.core.config import PA_SUCCESS_THRESHOLD
+from tise_tpu.core.data import center_crop_resize
+from tise_tpu.metrics.clip_scorer import ClipPairScorer
+
+
+def _softmax2_first(logits: np.ndarray) -> np.ndarray:
+    """P(gt) of the 2-way softmax: [B, 2] -> [B]."""
+    m = logits.max(axis=1, keepdims=True)
+    e = np.exp(logits - m)
+    return e[:, 0] / e.sum(axis=1)
+
+
+def score_phrase(
+    items: Sequence[Dict],
+    phrase_dir: str,
+    scorer: ClipPairScorer,
+    tokenizer: SimpleTokenizer,
+    *,
+    batch_size: int = 64,
+    threshold: float = PA_SUCCESS_THRESHOLD,
+    num_workers: int = 8,
+) -> Tuple[float, int]:
+    """-> (success rate, total) for one positional-word folder."""
+    n = len(items)
+    successes = 0
+    with ThreadPoolExecutor(max_workers=num_workers) as pool:
+        for start in range(0, n, batch_size):
+            chunk = items[start : start + batch_size]
+            imgs = list(
+                pool.map(
+                    lambda it: center_crop_resize(os.path.join(phrase_dir, f"{it['caption_id']}.png"), 224), chunk
+                )
+            )
+            toks = [tokenizer.tokenize([it["caption"], it["false_caption"]]) for it in chunk]
+            logits = scorer.logits(np.stack(imgs), np.stack(toks))
+            successes += int(np.sum(_softmax2_first(logits) > threshold))
+    return successes / n if n else 0.0, n
+
+
+def compute_pa(
+    data: Dict[str, Sequence[Dict]],
+    image_dir: str,
+    scorer: ClipPairScorer,
+    tokenizer: SimpleTokenizer,
+    *,
+    batch_size: int = 64,
+    threshold: float = PA_SUCCESS_THRESHOLD,
+) -> Tuple[float, Dict[str, Dict]]:
+    phrase_res: Dict[str, Dict] = {}
+    for phrase, items in data.items():
+        score, total = score_phrase(
+            items, os.path.join(image_dir, phrase), scorer, tokenizer, batch_size=batch_size, threshold=threshold
+        )
+        phrase_res[phrase] = {"success": score * total, "total": float(total), "score": score}
+        print(phrase, phrase_res[phrase])
+    pa = float(np.mean([phrase_res[p]["score"] for p in phrase_res]))
+    return pa, phrase_res
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--image_dir", default="", type=str)
+    p.add_argument("--pa_input_file", default="captions/PA_input_captions.pkl", type=str)
+    p.add_argument("--saved_file_path", default=None, type=str)
+    p.add_argument("--gpu_id", default="0", type=str, help="ignored (TPU build)")
+    p.add_argument("--weights", type=str, required=True, help="CLIP ViT-B/32 weights (.pt/.npz)")
+    p.add_argument("--bpe_path", type=str, required=True)
+    p.add_argument("--batch_size", type=int, default=64)
+    args = p.parse_args(argv)
+
+    from tise_tpu.backbones import clip_vit
+
+    data = result_io.load_pickle(args.pa_input_file)
+    scorer = ClipPairScorer(clip_vit.load_params(args.weights))
+    tokenizer = SimpleTokenizer(args.bpe_path)
+    pa, _ = compute_pa(data, args.image_dir, scorer, tokenizer, batch_size=args.batch_size)
+    if args.saved_file_path is not None:
+        result_io.write_pa_result(args.saved_file_path, pa)
+    print(f"PA = {pa}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,118 @@
+"""RP (COCO) — R-precision via CLIP ViT-B/32 (reference: text_relevance/RP_coco.py).
+
+Per caption item: rank the ground-truth caption against its 99
+``mismatched_captions`` by image-text logits; success iff the GT ranks first
+(RP_coco.py:67-76).  Items are shuffled into 10 bins (the last absorbs the
+remainder, :41-52); the final score is mean +- std over per-bin success rates
+(:83-85).  The reference's shuffle is unseeded (:43); here it is seeded
+(--seed) for reproducibility.
+
+TPU redesign: instead of one 1-image x 100-text forward per item, whole
+blocks of items run per pjit step via ClipPairScorer (images [B,224,224,3],
+tokens [B,100,77]), sharded over the data mesh axis.
+"""
+
+from __future__ import annotations
+
+import argparse
+import random
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from tise_tpu.backbones.clip_tokenizer import SimpleTokenizer
+from tise_tpu.core import io as result_io
+from tise_tpu.core.config import NUM_SPLITS
+from tise_tpu.core.data import center_crop_resize
+from tise_tpu.metrics.clip_scorer import ClipPairScorer
+
+
+def make_bins(num_items: int, num_bins: int = NUM_SPLITS, seed: int = 0) -> List[List[int]]:
+    """Shuffled ids split into bins; last bin takes the remainder
+    (RP_coco.py:41-52)."""
+    ids = list(range(num_items))
+    random.Random(seed).shuffle(ids)
+    per_bin = num_items // num_bins
+    bins = []
+    for i in range(num_bins):
+        if i == num_bins - 1 and num_items % num_bins != 0:
+            bins.append(ids[i * per_bin :])
+        else:
+            bins.append(ids[i * per_bin : (i + 1) * per_bin])
+    return bins
+
+
+def score_items(
+    items: Sequence[Dict],
+    image_paths: Sequence[str],
+    scorer: ClipPairScorer,
+    tokenizer: SimpleTokenizer,
+    *,
+    batch_size: int = 64,
+    num_workers: int = 8,
+) -> np.ndarray:
+    """-> bool success per item (GT caption ranked first among 100)."""
+    n = len(items)
+    success = np.zeros(n, dtype=bool)
+    with ThreadPoolExecutor(max_workers=num_workers) as pool:
+        for start in range(0, n, batch_size):
+            chunk = list(range(start, min(start + batch_size, n)))
+            imgs = list(pool.map(lambda i: center_crop_resize(image_paths[i], 224), chunk))
+            toks = []
+            for i in chunk:
+                caps = [items[i]["caption"]] + list(items[i]["mismatched_captions"])
+                toks.append(tokenizer.tokenize(caps))
+            logits = scorer.logits(np.stack(imgs), np.stack(toks))
+            success[chunk] = np.argmax(logits, axis=1) == 0
+    return success
+
+
+def compute_rp(
+    rp_input: Sequence[Dict],
+    image_dir: str,
+    scorer: ClipPairScorer,
+    tokenizer: SimpleTokenizer,
+    *,
+    num_bins: int = NUM_SPLITS,
+    seed: int = 0,
+    batch_size: int = 64,
+) -> Tuple[float, float, List[float]]:
+    import os
+
+    paths = [os.path.join(image_dir, f"{item['caption_id']}.png") for item in rp_input]
+    success = score_items(rp_input, paths, scorer, tokenizer, batch_size=batch_size)
+    bins = make_bins(len(rp_input), num_bins, seed)
+    bin_scores = [float(np.mean(success[b])) for b in bins]
+    return float(np.mean(bin_scores)), float(np.std(bin_scores)), bin_scores
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description="Calculating R-precision")
+    p.add_argument("--image_dir", default="", type=str)
+    p.add_argument("--rp_input_file", default="captions/COCO_RP_captions.pkl", type=str)
+    p.add_argument("--saved_file_path", default=None, type=str)
+    p.add_argument("--gpu_id", default="0", type=str, help="ignored (TPU build)")
+    p.add_argument("--weights", type=str, required=True, help="CLIP ViT-B/32 weights (.pt/.npz)")
+    p.add_argument("--bpe_path", type=str, required=True, help="CLIP BPE vocab (bpe_simple_vocab_16e6.txt.gz)")
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    from tise_tpu.backbones import clip_vit
+
+    rp_input = result_io.load_pickle(args.rp_input_file)
+    scorer = ClipPairScorer(clip_vit.load_params(args.weights))
+    tokenizer = SimpleTokenizer(args.bpe_path)
+    mean, std, bin_scores = compute_rp(
+        rp_input, args.image_dir, scorer, tokenizer, seed=args.seed, batch_size=args.batch_size
+    )
+    for i, s in enumerate(bin_scores):
+        print(f"Bin: {i}, RP: {s}")
+    if args.saved_file_path is not None:
+        result_io.write_rp_coco_result(args.saved_file_path, mean, std)
+    print(f"R-precision: {mean} +- {std}")
+
+
+if __name__ == "__main__":
+    main()
