@@ -47,10 +47,16 @@ def compute_statistics_of_path(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """mu/sigma of a folder (or load a cached npz).  Mirrors
     fid_score.py:199-220."""
+    import os
+
+    if not os.path.exists(path):
+        raise RuntimeError(f"Invalid path: {path}")
     if path.endswith(".npz"):
         return result_io.load_stats_npz(path)
     assert extractor is not None
     loader = ImageFolderLoader.from_dir(path, batch_size, 299, drop_last=legacy_compat)
+    if loader.num_images() == 0:
+        raise RuntimeError(f"No images found under: {path}")
     acts = extractor.run(loader, keys=("pool3",))["pool3"]
     if streaming:
         # device-side sufficient statistics (for very large sets); the default
