@@ -1,0 +1,189 @@
+"""AttnGAN++ model stack tests: vectorised DAMSM losses vs a direct
+per-sample reimplementation of the reference math, spectral norm behavior,
+generator/discriminator shapes, and the fused train step (incl. the 8-device
+sharded path)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tise_tpu.models.attngan_pp import losses
+from tise_tpu.models.attngan_pp.discriminator import DNet
+from tise_tpu.models.attngan_pp.generator import GanConfig, GNet
+from tise_tpu.models.attngan_pp.layers import SpectralConv, nearest_upsample
+from tise_tpu.models.attngan_pp.trainer import (
+    TrainConfig,
+    build_models,
+    init_state,
+    make_train_step,
+    smoke_train,
+    synthetic_batch,
+)
+
+
+def _softmax(x, axis):
+    e = np.exp(x - x.max(axis=axis, keepdims=True))
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def _words_loss_reference(img_feat, words, lens, class_ids, g1, g2, g3):
+    """Direct per-sample transcription of the reference words_loss math
+    (miscc/losses.py:60-129) in numpy, as the parity oracle."""
+    b, ih, iw, nef = img_feat.shape
+    context = img_feat.reshape(b, ih * iw, nef)  # [B, S, nef]
+    sims = np.zeros((b, b))
+    for j in range(b):
+        t = int(lens[j])
+        word = words[j, :, :t]  # [nef, t]
+        for i in range(b):
+            c = context[i]  # [S, nef]
+            attn = c @ word  # [S, t]
+            attn = _softmax(attn, axis=1)  # over words
+            attn = _softmax(attn * g1, axis=0)  # over regions
+            wei = c.T @ attn  # [nef, t]
+            num = (word * wei).sum(0)
+            den = np.linalg.norm(word, axis=0) * np.linalg.norm(wei, axis=0)
+            row_sim = num / np.clip(den, 1e-8, None)
+            sims[i, j] = np.log(np.sum(np.exp(row_sim * g2)))
+    sims = sims * g3
+    mask = (class_ids[:, None] == class_ids[None, :]) & ~np.eye(b, dtype=bool)
+    sims_m = np.where(mask, -1e9, sims)
+
+    def ce(s):
+        logp = s - np.log(np.exp(s - s.max(1, keepdims=True)).sum(1, keepdims=True)) - s.max(1, keepdims=True)
+        return -np.mean(np.diag(logp))
+
+    return ce(sims_m), ce(sims_m.T)
+
+
+class TestDamsmLosses:
+    def test_words_loss_matches_reference_math(self, rng):
+        b, nef, t_max, hw = 5, 8, 6, 4
+        img = rng.randn(b, hw, hw, nef).astype(np.float32)
+        words = rng.randn(b, nef, t_max).astype(np.float32)
+        lens = np.array([6, 4, 3, 5, 2])
+        for j in range(b):  # zero padded words as the encoder would
+            words[j, :, lens[j] :] = 0
+        cls = np.array([0, 1, 1, 2, 3])
+        w = losses.DamsmWeights(gamma1=5.0, gamma2=5.0, gamma3=10.0)
+        l0, l1, attn = losses.words_loss(
+            jnp.asarray(img), jnp.asarray(words), jnp.asarray(lens), jnp.asarray(cls), w
+        )
+        r0, r1 = _words_loss_reference(img, words, lens, cls, 5.0, 5.0, 10.0)
+        np.testing.assert_allclose(float(l0), r0, rtol=1e-4)
+        np.testing.assert_allclose(float(l1), r1, rtol=1e-4)
+        assert attn.shape == (b, t_max, hw, hw)
+
+    def test_sent_loss_perfect_alignment_is_low(self, rng):
+        emb = rng.randn(6, 16).astype(np.float32)
+        aligned0, _ = losses.sent_loss(jnp.asarray(emb), jnp.asarray(emb), None)
+        shuffled = np.roll(emb, 1, axis=0)
+        mis0, _ = losses.sent_loss(jnp.asarray(emb), jnp.asarray(shuffled), None)
+        assert float(aligned0) < float(mis0)
+
+    def test_kl_loss_zero_at_standard_normal_params(self):
+        mu = jnp.zeros((4, 8))
+        logvar = jnp.zeros((4, 8))
+        assert float(losses.kl_loss(mu, logvar)) == pytest.approx(0.0)
+
+    def test_discriminator_loss_weighting(self, rng):
+        logits = jnp.asarray(rng.randn(8).astype(np.float32))
+        parts = losses.discriminator_loss(logits, logits, logits, logits, logits[:7])
+        expected = (parts.uncond_real + parts.cond_real) / 2 + (
+            parts.uncond_fake + parts.cond_fake + parts.cond_wrong
+        ) / 3
+        np.testing.assert_allclose(float(parts.total), float(expected), rtol=1e-6)
+
+
+class TestLayers:
+    def test_nearest_upsample(self):
+        x = jnp.arange(4.0).reshape(1, 2, 2, 1)
+        y = nearest_upsample(x)
+        assert y.shape == (1, 4, 4, 1)
+        np.testing.assert_allclose(np.asarray(y)[0, :, :, 0],
+                                   [[0, 0, 1, 1], [0, 0, 1, 1], [2, 2, 3, 3], [2, 2, 3, 3]])
+
+    def test_spectral_conv_normalises(self, rng):
+        """After enough power iterations, the effective kernel's top singular
+        value must be ~1 (spectral.py:19-31 semantics)."""
+        m = SpectralConv(features=8, kernel=(3, 3))
+        x = jnp.asarray(rng.randn(2, 8, 8, 4).astype(np.float32))
+        vars0 = m.init(jax.random.PRNGKey(0), x, True)
+        state = vars0
+        for _ in range(50):  # converge u
+            _, mut = m.apply(state, x, True, mutable=["spectral"])
+            state = {"params": vars0["params"], "spectral": mut["spectral"]}
+        w = np.asarray(vars0["params"]["kernel"])
+        w_mat = w.transpose(3, 0, 1, 2).reshape(8, -1)
+        u = np.asarray(state["spectral"]["u"])
+        u = u / np.linalg.norm(u)
+        v = w_mat.T @ u
+        v = v / np.linalg.norm(v)
+        sigma_est = u @ w_mat @ v
+        sigma_true = np.linalg.svd(w_mat, compute_uv=False)[0]
+        assert abs(sigma_est - sigma_true) / sigma_true < 0.05
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    gan = GanConfig(gf_dim=8, df_dim=8, z_dim=8, condition_dim=8, embedding_dim=16, words_num=6)
+    return TrainConfig(gan=gan, batch_size=4, ntoken=50)
+
+
+class TestModels:
+    def test_generator_shapes(self, tiny_cfg, rng):
+        gan = tiny_cfg.gan
+        model = GNet(cfg=gan)
+        b = 2
+        z = jnp.asarray(rng.randn(b, gan.z_dim).astype(np.float32))
+        sent = jnp.asarray(rng.randn(b, gan.embedding_dim).astype(np.float32))
+        words = jnp.asarray(rng.randn(b, gan.embedding_dim, gan.words_num).astype(np.float32))
+        mask = jnp.zeros((b, gan.words_num), bool)
+        variables = model.init(jax.random.PRNGKey(0), z, sent, words, mask, jax.random.PRNGKey(1), train=True)
+        (fakes, attn, mu, logvar), _ = model.apply(
+            variables, z, sent, words, mask, jax.random.PRNGKey(2), train=True, mutable=["batch_stats"]
+        )
+        assert [f.shape for f in fakes] == [(b, 64, 64, 3), (b, 128, 128, 3), (b, 256, 256, 3)]
+        assert mu.shape == (b, gan.condition_dim)
+        for f in fakes:
+            arr = np.asarray(f)
+            assert arr.min() >= -1.0 and arr.max() <= 1.0  # tanh head
+
+    @pytest.mark.parametrize("scale", [64, 128, 256])
+    def test_discriminator_shapes(self, tiny_cfg, rng, scale):
+        gan = tiny_cfg.gan
+        d = DNet(ndf=gan.df_dim, nef=gan.embedding_dim, scale=scale)
+        x = jnp.asarray(rng.randn(2, scale, scale, 3).astype(np.float32))
+        c = jnp.asarray(rng.randn(2, gan.embedding_dim).astype(np.float32))
+        variables = d.init(jax.random.PRNGKey(0), x, c)
+        (cond, uncond), _ = d.apply(variables, x, c, mutable=["spectral"])
+        assert cond.shape == (2,)
+        assert uncond.shape == (2,)
+
+
+class TestTrainStep:
+    def test_smoke_metrics_finite_and_params_move(self):
+        metrics = smoke_train(n_steps=2, batch_size=4, gf_dim=8, df_dim=8)
+        for k, v in metrics.items():
+            assert np.isfinite(v), k
+        assert metrics["g_loss"] > 0 and metrics["d_loss"] > 0
+
+    def test_ema_tracks_params(self, tiny_cfg):
+        models = build_models(tiny_cfg)
+        state, enc = init_state(tiny_cfg, models, jax.random.PRNGKey(0))
+        step = jax.jit(make_train_step(tiny_cfg, models))
+        batch = synthetic_batch(tiny_cfg, np.random.RandomState(0), tiny_cfg.batch_size)
+        new_state, _ = step(state, batch, enc, jax.random.PRNGKey(1))
+        # ema = 0.999 old_ema + 0.001 new_params, with old_ema == old_params
+        leaf = lambda t: jax.tree_util.tree_leaves(t)[0]
+        old_p, new_p, new_e = np.asarray(leaf(state.g_params)), np.asarray(leaf(new_state.g_params)), np.asarray(
+            leaf(new_state.g_ema)
+        )
+        np.testing.assert_allclose(new_e, 0.999 * old_p + 0.001 * new_p, rtol=1e-4, atol=1e-6)
+
+    def test_sharded_step_matches_dryrun(self):
+        """The multichip dryrun path must execute on the 8-device CPU mesh."""
+        import __graft_entry__ as graft
+
+        graft.dryrun_multichip(8)
