@@ -1,0 +1,159 @@
+"""Detection stack tests: box ops vs naive math, static NMS vs the greedy
+sequential algorithm, ROIAlign exactness on linear feature maps, and the
+full static-shape Faster R-CNN + folder predictor smoke (random weights).
+SOA/crop orchestration math is covered with synthetic detection pickles."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from tise_tpu.backbones.detection import ops
+from tise_tpu.core import io as result_io
+from tise_tpu.metrics import soa
+
+
+class TestBoxOps:
+    def test_iou_known_values(self):
+        a = jnp.asarray([[0, 0, 10, 10]], jnp.float32)
+        b = jnp.asarray([[0, 0, 10, 10], [5, 5, 15, 15], [20, 20, 30, 30]], jnp.float32)
+        iou = np.asarray(ops.box_iou(a, b))[0]
+        np.testing.assert_allclose(iou, [1.0, 25 / 175, 0.0], rtol=1e-6)
+
+    def test_apply_deltas_identity_and_shift(self):
+        boxes = jnp.asarray([[10, 10, 30, 50]], jnp.float32)
+        out = np.asarray(ops.apply_deltas(boxes, jnp.zeros((1, 4))))
+        np.testing.assert_allclose(out, [[10, 10, 30, 50]], atol=1e-5)
+        # dx=1 moves the center by one box width (20)
+        out = np.asarray(ops.apply_deltas(boxes, jnp.asarray([[1.0, 0, 0, 0]])))
+        np.testing.assert_allclose(out, [[30, 10, 50, 50]], atol=1e-4)
+
+    def test_anchor_grid(self):
+        anchors = ops.generate_anchors(4, 5, stride=16, size=32)
+        assert anchors.shape == (4 * 5 * 3, 4)
+        # aspect 1.0 anchor at cell (0, 0): centered at origin, 32x32
+        sq = anchors[1]
+        np.testing.assert_allclose(sq, [-16, -16, 16, 16], rtol=1e-6)
+        # areas are ~size^2 for every aspect ratio
+        areas = (anchors[:3, 2] - anchors[:3, 0]) * (anchors[:3, 3] - anchors[:3, 1])
+        np.testing.assert_allclose(areas, 32 * 32, rtol=1e-5)
+
+    def test_level_assignment(self):
+        boxes = jnp.asarray(
+            [[0, 0, 56, 56], [0, 0, 224, 224], [0, 0, 448, 448], [0, 0, 1000, 1000]], jnp.float32
+        )
+        np.testing.assert_array_equal(np.asarray(ops.assign_fpn_level(boxes)), [2, 4, 5, 5])
+
+
+def _naive_nms(boxes, scores, thresh):
+    """Sequential greedy NMS (the torchvision/detectron2 semantics)."""
+    order = np.argsort(-scores)
+    keep = np.zeros(len(boxes), bool)
+    suppressed = np.zeros(len(boxes), bool)
+    for i in order:
+        if suppressed[i] or not np.isfinite(scores[i]):
+            continue
+        keep[i] = True
+        for j in order:
+            if j == i or suppressed[j]:
+                continue
+            iou = np.asarray(ops.box_iou(jnp.asarray(boxes[i : i + 1]), jnp.asarray(boxes[j : j + 1])))[0, 0]
+            if scores[j] <= scores[i] and iou > thresh:
+                suppressed[j] = True
+    return keep
+
+
+class TestNMS:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_matches_sequential_greedy(self, seed):
+        rng = np.random.RandomState(seed)
+        n = 40
+        centers = rng.rand(n, 2) * 50
+        wh = rng.rand(n, 2) * 20 + 2
+        boxes = np.concatenate([centers - wh / 2, centers + wh / 2], 1).astype(np.float32)
+        scores = rng.rand(n).astype(np.float32)
+        order = np.argsort(-scores)
+        boxes_s, scores_s = boxes[order], scores[order]
+        keep = np.asarray(ops.nms_mask(jnp.asarray(boxes_s), jnp.asarray(scores_s), 0.5))
+        ref = _naive_nms(boxes_s, scores_s, 0.5)
+        np.testing.assert_array_equal(keep, ref)
+
+
+class TestRoiAlign:
+    def test_exact_on_linear_field(self):
+        """Bilinear sampling + averaging of a linear function f(x, y) = x + 2y
+        must return f at the bin centers exactly."""
+        h = w = 32
+        ys, xs = np.meshgrid(np.arange(h, dtype=np.float32), np.arange(w, dtype=np.float32), indexing="ij")
+        feat = (xs + 2 * ys)[..., None]  # [H, W, 1]
+        stride = 4
+        box = jnp.asarray([[8.0, 8.0, 72.0, 72.0]])  # in image coords, maps to feat 2..18
+        out = np.asarray(ops.roi_align(jnp.asarray(feat), box, stride, out_size=4, sampling=2))
+        # expected value at bin center (in feature coords, aligned=True: -0.5 shift)
+        x1 = 8 / stride - 0.5
+        size = (72 - 8) / stride
+        centers = x1 + size * (np.arange(4) + 0.5) / 4
+        expected = centers[None, :] + 2 * centers[:, None]
+        np.testing.assert_allclose(out[0, :, :, 0], expected, rtol=1e-5)
+
+
+class TestEndToEnd:
+    def test_folder_predictor_smoke(self, tmp_path):
+        """Random-weight Faster R-CNN over a 2-image folder at a small static
+        size: runs, returns the DefaultPredictor-shaped dict."""
+        from tise_tpu.backbones.detection.predictor import TPUDetector
+
+        rng = np.random.RandomState(0)
+        files = []
+        for i in range(2):
+            p = str(tmp_path / f"img{i}.png")
+            Image.fromarray(rng.randint(0, 256, (64, 64, 3)).astype(np.uint8)).save(p)
+            files.append(p)
+        det = TPUDetector(None, batch_size=2, input_size=256)
+        out = det.detect_files(files)
+        assert set(out) == set(files)
+        for names, ids, boxes in out.values():
+            assert len(names) == len(ids) == len(boxes)
+            for b in boxes:  # boxes rescaled to the 64x64 original frame
+                assert (np.asarray(b) <= 64.0 + 1e-3).all()
+
+
+class TestSoaMath:
+    def _fake_detections(self, label, hits, total):
+        d = {}
+        for i in range(total):
+            ids = [label] if i < hits else [label + 1]
+            d[f"img{i}.png"] = [["x"], ids, [np.zeros(4)]]
+        return d
+
+    def test_recall(self):
+        det = self._fake_detections(3, hits=7, total=10)
+        acc, rec, tot = soa.recall_for_label(det, 3)
+        assert (acc, rec, tot) == (0.7, 7, 10)
+
+    def test_soa_scores_and_files(self, tmp_path):
+        ddir = str(tmp_path / "det")
+        os.makedirs(ddir)
+        # 80 labels with varying accuracy/image counts
+        for label in range(80):
+            hits = label % 10
+            total = 10 + (label % 5)
+            result_io.save_pickle(
+                os.path.join(ddir, f"detected_label_{label:02d}.pkl"), self._fake_detections(label, hits, total)
+            )
+        saved = str(tmp_path / "soa.txt")
+        soa_c, soa_i, top40, bot40 = soa.calc_soa(ddir, saved)
+        assert 0 <= soa_c <= 1 and 0 <= soa_i <= 1
+        text = open(saved).read()
+        assert "(SOA-C) is:" in text and "(SOA-I) is:" in text
+        # independently recompute SOA-C
+        accs = [(l % 10) / (10 + (l % 5)) for l in range(80)]
+        np.testing.assert_allclose(soa_c, np.mean(accs), rtol=1e-9)
+
+    def test_label_parsing(self):
+        assert soa.label_from_filename("out/detected_label_04_11.pkl") == 4
+        assert soa.label_from_filename("detected_label_7.pkl") == 7
+        assert soa.label_from_filename("images/label_79/x.png") == 79

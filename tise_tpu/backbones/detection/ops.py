@@ -1,0 +1,155 @@
+"""Static-shape detection ops: anchors, box transforms, IoU, NMS, ROIAlign.
+
+XLA needs static shapes, so everything that is dynamically sized in
+detectron2 (proposal counts, per-class survivors) is fixed-size here with
+validity masks — the standard TF-TPU detection formulation (SURVEY.md "Hard
+parts": fixed-size top-k proposal/NMS with padding masks).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def generate_anchors(
+    feat_h: int, feat_w: int, stride: int, size: float, aspect_ratios: Sequence[float] = (0.5, 1.0, 2.0)
+) -> np.ndarray:
+    """[H*W*A, 4] xyxy anchors, detectron2 DefaultAnchorGenerator semantics:
+    centered at (stride/2 + stride*i), area size^2, aspect h/w."""
+    anchors = []
+    for ar in aspect_ratios:
+        w = size / np.sqrt(ar)
+        h = size * np.sqrt(ar)
+        anchors.append([-w / 2, -h / 2, w / 2, h / 2])
+    base = np.asarray(anchors, np.float32)  # [A, 4]
+    ys = (np.arange(feat_h, dtype=np.float32)) * stride
+    xs = (np.arange(feat_w, dtype=np.float32)) * stride
+    shift_x, shift_y = np.meshgrid(xs, ys)
+    shifts = np.stack([shift_x, shift_y, shift_x, shift_y], axis=-1).reshape(-1, 1, 4)
+    return (shifts + base[None]).reshape(-1, 4)
+
+
+def apply_deltas(boxes: jax.Array, deltas: jax.Array, clip: float = np.log(1000.0 / 16)) -> jax.Array:
+    """Box regression transform (dx, dy, dw, dh) -> xyxy (detectron2
+    Box2BoxTransform, weights (1,1,1,1) for RPN)."""
+    w = boxes[..., 2] - boxes[..., 0]
+    h = boxes[..., 3] - boxes[..., 1]
+    cx = boxes[..., 0] + 0.5 * w
+    cy = boxes[..., 1] + 0.5 * h
+    dx, dy, dw, dh = deltas[..., 0], deltas[..., 1], deltas[..., 2], deltas[..., 3]
+    dw = jnp.clip(dw, max=clip)
+    dh = jnp.clip(dh, max=clip)
+    ncx = dx * w + cx
+    ncy = dy * h + cy
+    nw = jnp.exp(dw) * w
+    nh = jnp.exp(dh) * h
+    return jnp.stack([ncx - 0.5 * nw, ncy - 0.5 * nh, ncx + 0.5 * nw, ncy + 0.5 * nh], axis=-1)
+
+
+def clip_boxes(boxes: jax.Array, height: float, width: float) -> jax.Array:
+    x1 = jnp.clip(boxes[..., 0], 0, width)
+    y1 = jnp.clip(boxes[..., 1], 0, height)
+    x2 = jnp.clip(boxes[..., 2], 0, width)
+    y2 = jnp.clip(boxes[..., 3], 0, height)
+    return jnp.stack([x1, y1, x2, y2], axis=-1)
+
+
+def box_iou(a: jax.Array, b: jax.Array) -> jax.Array:
+    """[N,4] x [M,4] -> [N,M] IoU."""
+    area_a = jnp.clip(a[:, 2] - a[:, 0], 0) * jnp.clip(a[:, 3] - a[:, 1], 0)
+    area_b = jnp.clip(b[:, 2] - b[:, 0], 0) * jnp.clip(b[:, 3] - b[:, 1], 0)
+    lt = jnp.maximum(a[:, None, :2], b[None, :, :2])
+    rb = jnp.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = jnp.clip(rb - lt, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = area_a[:, None] + area_b[None, :] - inter
+    return inter / jnp.maximum(union, 1e-9)
+
+
+def nms_mask(boxes: jax.Array, scores: jax.Array, iou_threshold: float) -> jax.Array:
+    """Greedy NMS over score-DESCENDING-sorted inputs -> bool keep mask.
+
+    Static O(K^2): precompute the IoU matrix, then a fori_loop marks
+    suppression exactly like the sequential greedy algorithm (a kept box
+    suppresses later overlapping boxes; a suppressed box suppresses nothing).
+    Invalid rows must carry scores of -inf (they never suppress since they
+    sort last and everything earlier already handled them).
+    """
+    k = boxes.shape[0]
+    iou = box_iou(boxes, boxes)
+    over = iou > iou_threshold
+    idx = jnp.arange(k)
+
+    def body(i, suppressed):
+        row = over[i] & (idx > i)
+        return jnp.where(suppressed[i], suppressed, suppressed | row)
+
+    suppressed = jax.lax.fori_loop(0, k, body, jnp.zeros((k,), bool))
+    return ~suppressed
+
+
+def topk_sorted(scores: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
+    """(top-k scores desc, indices)."""
+    return jax.lax.top_k(scores, k)
+
+
+def roi_align(
+    feat: jax.Array, boxes: jax.Array, stride: int, out_size: int = 7, sampling: int = 2
+) -> jax.Array:
+    """ROIAlign (aligned=True, fixed sampling grid) on one feature level.
+
+    feat [H, W, C]; boxes [N, 4] xyxy in image coordinates ->
+    [N, out, out, C].  detectron2's ROIAlignV2 subtracts half a pixel
+    (aligned=True) and, with sampling_ratio=0, adapts the grid per box; a
+    fixed ``sampling`` x ``sampling`` grid per bin is used here (the standard
+    static-shape TPU choice; <1e-3 box-score effect at 800px).
+    """
+    h, w, c = feat.shape
+    n = boxes.shape[0]
+    scale = 1.0 / stride
+    x1 = boxes[:, 0] * scale - 0.5
+    y1 = boxes[:, 1] * scale - 0.5
+    x2 = boxes[:, 2] * scale - 0.5
+    y2 = boxes[:, 3] * scale - 0.5
+    bw = jnp.maximum(x2 - x1, 1e-6)
+    bh = jnp.maximum(y2 - y1, 1e-6)
+
+    # sample positions: out_size bins, `sampling` points per bin
+    grid = (jnp.arange(out_size * sampling, dtype=feat.dtype) + 0.5) / sampling  # in bin units
+    ys = y1[:, None] + bh[:, None] * grid[None, :] / out_size  # [N, S]
+    xs = x1[:, None] + bw[:, None] * grid[None, :] / out_size
+
+    def bilinear(coords, size):
+        c0 = jnp.clip(jnp.floor(coords), 0, size - 1)
+        c1 = jnp.clip(c0 + 1, 0, size - 1)
+        frac = jnp.clip(coords - c0, 0.0, 1.0)
+        return c0.astype(jnp.int32), c1.astype(jnp.int32), frac
+
+    y0, y1i, fy = bilinear(ys, h)
+    x0, x1i, fx = bilinear(xs, w)
+
+    # gather rows then columns (separable bilinear): [N, S, W, C]
+    rows = feat[y0] * (1 - fy)[..., None, None] + feat[y1i] * fy[..., None, None]
+    # gather columns per box: rows[n, s_y, x, c] at x0/x1 [N, S_x]
+    def gather_cols(r, x0n, x1n, fxn):
+        a = r[:, x0n, :]  # [S_y, S_x, C]
+        b = r[:, x1n, :]
+        return a * (1 - fxn)[None, :, None] + b * fxn[None, :, None]
+
+    vals = jax.vmap(gather_cols)(rows, x0, x1i, fx)  # [N, S_y, S_x, C]
+    s = sampling
+    vals = vals.reshape(n, out_size, s, out_size, s, c)
+    return jnp.mean(vals, axis=(2, 4))
+
+
+def assign_fpn_level(boxes: jax.Array, k_min: int = 2, k_max: int = 5, canonical: float = 224.0) -> jax.Array:
+    """FPN level per box: floor(4 + log2(sqrt(area)/224)), clamped
+    (detectron2 assign_boxes_to_levels)."""
+    area = jnp.clip(boxes[:, 2] - boxes[:, 0], 0) * jnp.clip(boxes[:, 3] - boxes[:, 1], 0)
+    lvl = jnp.floor(4 + jnp.log2(jnp.sqrt(area) / canonical + 1e-8))
+    return jnp.clip(lvl, k_min, k_max).astype(jnp.int32)

@@ -1,0 +1,161 @@
+"""Faster R-CNN heads (RPN + box head) with static shapes, detectron2-parity.
+
+Equivalent of the reference's detectron2 mask_rcnn_R_50_FPN_3x predictor used
+for cropping (crop_object.py:18-23) and SOA (SOA.py:18-23).  The mask branch
+is intentionally omitted: every consumer in the reference uses only
+``pred_classes`` and ``pred_boxes`` (crop_object.py:32-33, SOA.py:89-90).
+
+Static-shape design (SURVEY.md "Hard parts"):
+  * RPN: per-level top-k (1000) pre-NMS candidates, NMS 0.7 as a fixed-size
+    mask, post-NMS top 1000 proposals across levels with validity masks;
+  * ROI heads: ROIAlign computed per FPN level and gathered by the box-level
+    assignment; class-wise box decode; per-class NMS 0.5 via one batched NMS
+    with the class-offset trick; score threshold 0.5
+    (cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST, crop_object.py:20); top 100
+    detections with a validity mask.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, List, NamedTuple, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tise_tpu.backbones.detection import ops
+from tise_tpu.backbones.detection.resnet_fpn import FPN, ResNet50
+
+STRIDES = (4, 8, 16, 32, 64)
+ANCHOR_SIZES = (32, 64, 128, 256, 512)
+NUM_ANCHORS = 3  # aspect ratios 0.5/1/2, one size per level
+PRE_NMS_TOPK = 1000  # test-time, per level
+POST_NMS_TOPK = 1000
+RPN_NMS_THRESH = 0.7
+DETECTIONS_PER_IMAGE = 100
+NMS_THRESH = 0.5
+NUM_CLASSES = 80
+#: Box2BoxTransform weights for the box head (detectron2 default 10, 10, 5, 5)
+BOX_REG_WEIGHTS = (10.0, 10.0, 5.0, 5.0)
+
+
+class RPNHead(nn.Module):
+    """Shared 3x3 conv -> objectness + anchor deltas, applied per level."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jax.Array]) -> Tuple[List[jax.Array], List[jax.Array]]:
+        conv = nn.Conv(256, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv")
+        obj = nn.Conv(NUM_ANCHORS, (1, 1), dtype=self.dtype, name="objectness")
+        deltas = nn.Conv(NUM_ANCHORS * 4, (1, 1), dtype=self.dtype, name="anchor_deltas")
+        logits, boxes = [], []
+        for f in feats:
+            t = nn.relu(conv(f))
+            logits.append(obj(t))
+            boxes.append(deltas(t))
+        return logits, boxes
+
+
+class BoxHead(nn.Module):
+    """2-fc head + predictors (FastRCNNConvFCHead + FastRCNNOutputLayers)."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, roi_feats: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        x = roi_feats.reshape(roi_feats.shape[0], -1)
+        x = nn.relu(nn.Dense(1024, dtype=self.dtype, name="fc1")(x))
+        x = nn.relu(nn.Dense(1024, dtype=self.dtype, name="fc2")(x))
+        scores = nn.Dense(NUM_CLASSES + 1, dtype=self.dtype, name="cls_score")(x)
+        deltas = nn.Dense(NUM_CLASSES * 4, dtype=self.dtype, name="bbox_pred")(x)
+        return scores, deltas
+
+
+class Detections(NamedTuple):
+    boxes: jax.Array  # [D, 4] xyxy in input-image coordinates
+    scores: jax.Array  # [D]
+    classes: jax.Array  # [D] int32 contiguous 0..79
+    valid: jax.Array  # [D] bool
+
+
+class FasterRCNN(nn.Module):
+    """Backbone + RPN + ROI box head; single-image static-shape inference."""
+
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.backbone = ResNet50(dtype=self.dtype)
+        self.fpn = FPN(dtype=self.dtype)
+        self.rpn = RPNHead(dtype=self.dtype)
+        self.box_head = BoxHead(dtype=self.dtype)
+
+    def __call__(self, image: jax.Array) -> Detections:
+        """image: normalized [H, W, 3] (BGR, mean-subtracted), H/W static and
+        divisible by 64."""
+        h, w = image.shape[0], image.shape[1]
+        feats = self.fpn(self.backbone(image[None]))
+        logits, deltas = self.rpn(feats)
+
+        # ---- proposals (per level topk -> NMS -> global topk) ----
+        all_boxes, all_scores = [], []
+        for lvl, (lg, dl) in enumerate(zip(logits, deltas)):
+            fh, fw = lg.shape[1], lg.shape[2]
+            anchors = jnp.asarray(ops.generate_anchors(fh, fw, STRIDES[lvl], ANCHOR_SIZES[lvl]))
+            scores_l = lg.reshape(-1).astype(jnp.float32)
+            deltas_l = dl.reshape(-1, 4).astype(jnp.float32)
+            k = min(PRE_NMS_TOPK, scores_l.shape[0])
+            top_scores, idx = jax.lax.top_k(scores_l, k)
+            boxes_l = ops.apply_deltas(anchors[idx], deltas_l[idx])
+            boxes_l = ops.clip_boxes(boxes_l, h, w)
+            # drop degenerate boxes (detectron2 removes empty proposals)
+            wh_ok = (boxes_l[:, 2] > boxes_l[:, 0]) & (boxes_l[:, 3] > boxes_l[:, 1])
+            top_scores = jnp.where(wh_ok, top_scores, -jnp.inf)
+            keep = ops.nms_mask(boxes_l, top_scores, RPN_NMS_THRESH)
+            all_boxes.append(boxes_l)
+            all_scores.append(jnp.where(keep, top_scores, -jnp.inf))
+        boxes = jnp.concatenate(all_boxes)
+        scores = jnp.concatenate(all_scores)
+        k = min(POST_NMS_TOPK, scores.shape[0])
+        prop_scores, idx = jax.lax.top_k(scores, k)
+        proposals = boxes[idx]  # [K, 4]
+        prop_valid = jnp.isfinite(prop_scores)
+
+        # ---- ROI align over FPN levels (compute per level, select by mask) ----
+        levels = ops.assign_fpn_level(proposals)
+        roi = jnp.zeros((k, 7, 7, 256), self.dtype)
+        for lvl in range(2, 6):
+            r = ops.roi_align(feats[lvl - 2][0], proposals, STRIDES[lvl - 2])
+            roi = jnp.where((levels == lvl)[:, None, None, None], r.astype(self.dtype), roi)
+
+        # ---- box head + per-class decode ----
+        cls_logits, box_deltas = self.box_head(roi)
+        probs = jax.nn.softmax(cls_logits.astype(jnp.float32), axis=-1)[:, :NUM_CLASSES]  # drop background
+        wx, wy, ww, wh = BOX_REG_WEIGHTS
+        d = box_deltas.astype(jnp.float32).reshape(k, NUM_CLASSES, 4) / jnp.asarray([wx, wy, ww, wh])
+        cls_boxes = ops.apply_deltas(proposals[:, None, :], d)
+        cls_boxes = ops.clip_boxes(cls_boxes, h, w)  # [K, C, 4]
+
+        # flatten (proposal, class) pairs; batched per-class NMS by offsetting
+        # boxes per class so cross-class overlaps never suppress
+        flat_scores = jnp.where(prop_valid[:, None], probs, 0.0).reshape(-1)
+        flat_boxes = cls_boxes.reshape(-1, 4)
+        flat_cls = jnp.broadcast_to(jnp.arange(NUM_CLASSES)[None, :], (k, NUM_CLASSES)).reshape(-1)
+        score_ok = flat_scores > 0.5  # SCORE_THRESH_TEST (crop_object.py:20)
+        masked_scores = jnp.where(score_ok, flat_scores, -jnp.inf)
+        top = min(4 * DETECTIONS_PER_IMAGE, masked_scores.shape[0])
+        sel_scores, sel = jax.lax.top_k(masked_scores, top)
+        sel_boxes = flat_boxes[sel]
+        sel_cls = flat_cls[sel]
+        offset = sel_cls.astype(jnp.float32)[:, None] * (jnp.maximum(h, w) + 1.0)
+        keep = ops.nms_mask(sel_boxes + offset, sel_scores, NMS_THRESH)
+        final_scores = jnp.where(keep, sel_scores, -jnp.inf)
+        out_scores, order = jax.lax.top_k(final_scores, DETECTIONS_PER_IMAGE)
+        return Detections(
+            boxes=sel_boxes[order],
+            scores=jnp.where(jnp.isfinite(out_scores), out_scores, 0.0),
+            classes=sel_cls[order],
+            valid=jnp.isfinite(out_scores),
+        )

@@ -42,7 +42,10 @@ def crop_folder(
             im = im.convert("RGB")
             stem = os.path.basename(path).split(".")[0]
             for cls_id, box in zip(ids, boxes):
-                crop = im.crop(tuple(float(v) for v in box))
+                x1, y1, x2, y2 = (float(v) for v in box)
+                if x2 - x1 < 1.0 or y2 - y1 < 1.0:  # degenerate box; PIL can't save it
+                    continue
+                crop = im.crop((x1, y1, x2, y2))
                 cls_name = class_names[int(cls_id)]
                 crop.save(os.path.join(dest_dir, f"{stem}_{cls_name}_{count}.png"))
                 count += 1
