@@ -1,0 +1,143 @@
+"""Training-infrastructure tests: checkpoint save/resume round-trip, logging
+artifacts, dataset caption machinery, DAMSM pretraining step, and the
+CounterModel stack."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tise_tpu.models import damsm_pretrain
+from tise_tpu.models import datasets as ds
+from tise_tpu.models.attngan_pp import trainer as T
+from tise_tpu.models.attngan_pp.generator import GanConfig
+from tise_tpu.models.attngan_pp.train_loop import CheckpointManager, ScalarWriter, make_logger
+from tise_tpu.models.counter_model import trainer as CT
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    gan = GanConfig(gf_dim=8, df_dim=8, z_dim=8, condition_dim=8, embedding_dim=16, words_num=6)
+    return T.TrainConfig(gan=gan, batch_size=2, ntoken=40)
+
+
+class TestCheckpointing:
+    def test_save_restore_roundtrip(self, tmp_path, tiny_cfg):
+        models = T.build_models(tiny_cfg)
+        state, _enc = T.init_state(tiny_cfg, models, jax.random.PRNGKey(0))
+        mgr = CheckpointManager(str(tmp_path / "ckpt"), keep=2)
+        mgr.save(jax.device_get(state), epoch=5)
+        restored, epoch = mgr.restore(jax.device_get(state))
+        assert epoch == 5
+        a = jax.tree_util.tree_leaves(state.g_params)[0]
+        b = jax.tree_util.tree_leaves(restored.g_params)[0]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    def test_keep_policy_deletes_old(self, tmp_path, tiny_cfg):
+        models = T.build_models(tiny_cfg)
+        state, _ = T.init_state(tiny_cfg, models, jax.random.PRNGKey(0))
+        mgr = CheckpointManager(str(tmp_path / "ckpt"), keep=1)
+        host_state = jax.device_get(state)
+        for e in (1, 2, 3):
+            mgr.save(host_state, epoch=e)
+        assert mgr.epochs() == [3]
+
+    def test_logger_and_scalars(self, tmp_path):
+        logger = make_logger(str(tmp_path))
+        logger.info("hello")
+        assert os.path.isfile(tmp_path / "train_history.log")
+        w = ScalarWriter(str(tmp_path))
+        w.write(3, {"g_loss": 1.5})
+        line = open(tmp_path / "scalars.jsonl").read()
+        assert '"g_loss": 1.5' in line and '"step": 3' in line
+
+
+class TestDatasetMachinery:
+    def test_tokenize_and_dictionary(self):
+        train = [ds.tokenize("A small bird."), ds.tokenize("the bird sat")]
+        test = [ds.tokenize("a red bird")]
+        tr, te, ixtoword, wordtoix = ds.build_dictionary(train, test)
+        assert ixtoword[0] == "<end>"
+        assert wordtoix["bird"] > 0
+        # encoded captions round-trip through the vocab
+        assert [ixtoword[i] for i in tr[0]] == ["a", "small", "bird"]
+
+    def test_pad_caption(self, tmp_path):
+        d = ds.TextImageDataset.__new__(ds.TextImageDataset)
+        d.words_num = 5
+        d.rng = np.random.RandomState(0)
+        x, l = d.pad_caption([3, 4, 5])
+        np.testing.assert_array_equal(x, [3, 4, 5, 0, 0])
+        assert l == 3
+        x, l = d.pad_caption(list(range(1, 10)))
+        assert l == 5 and (x > 0).all()
+        assert list(x) == sorted(x, key=lambda v: list(range(1, 10)).index(v))  # order preserved
+
+    def test_cub_bbox_crop(self):
+        from PIL import Image
+
+        im = Image.new("RGB", (100, 80))
+        out = ds.cub_bbox_crop(im, [10, 10, 40, 20])  # r = 30, center (30, 20)
+        assert out.size == (60, 50)  # x 0..60, y 0..50 clamped
+
+
+class TestDamsmPretrain:
+    def test_smoke_finite_and_trunk_frozen(self):
+        cfg = damsm_pretrain.DamsmPretrainConfig(ntoken=60, embedding_dim=16, words_num=6)
+        state, (rnn, cnn, tx) = damsm_pretrain.init_state(cfg, jax.random.PRNGKey(0))
+        step = jax.jit(damsm_pretrain.make_train_step(cfg, rnn, cnn, tx))
+        r = np.random.RandomState(0)
+        images = jnp.asarray(r.rand(3, 96, 96, 3).astype(np.float32))
+        caps = jnp.asarray(r.randint(1, 60, (3, 6)).astype(np.int32))
+        lens = jnp.asarray([6, 4, 2], dtype=jnp.int32)
+        cls = jnp.arange(3, dtype=jnp.int32)
+        new_state, metrics = step(state, images, caps, lens, cls)
+        assert np.isfinite(float(metrics["loss"]))
+        # frozen trunk: inception weights unchanged; trainable heads moved
+        old_trunk = state.cnn_params["trunk"]["Conv2d_1a_3x3"]["conv"]["kernel"]
+        new_trunk = new_state.cnn_params["trunk"]["Conv2d_1a_3x3"]["conv"]["kernel"]
+        np.testing.assert_allclose(np.asarray(old_trunk), np.asarray(new_trunk))
+        old_head = state.cnn_params["emb_cnn_code"]["kernel"]
+        new_head = new_state.cnn_params["emb_cnn_code"]["kernel"]
+        assert not np.allclose(np.asarray(old_head), np.asarray(new_head))
+
+
+class TestCounterModel:
+    def test_generator_emits_seven_scales(self):
+        gan = GanConfig(gf_dim=8, df_dim=8, z_dim=8, condition_dim=8, embedding_dim=16, words_num=6)
+        from tise_tpu.models.counter_model.generator import CounterGNet
+
+        model = CounterGNet(cfg=gan)
+        b = 2
+        z = jnp.zeros((b, 8))
+        sent = jnp.zeros((b, 16))
+        words = jnp.zeros((b, 16, 6))
+        mask = jnp.zeros((b, 6), bool)
+        variables = model.init(jax.random.PRNGKey(0), z, sent, words, mask, jax.random.PRNGKey(1), train=True)
+        (fakes, attn, mu, lv), _ = model.apply(
+            variables, z, sent, words, mask, jax.random.PRNGKey(2), train=True, mutable=["batch_stats"]
+        )
+        assert [f.shape[1] for f in fakes] == [4, 8, 16, 32, 64, 128, 256]
+        assert len(attn) == 2
+
+    def test_multiscale_reals(self):
+        img = jnp.ones((2, 256, 256, 3))
+        scales = CT.multiscale_reals(img)
+        assert [s.shape[1] for s in scales] == [4, 8, 16, 32, 64, 128, 256]
+
+    def test_minibatch_stddev(self):
+        from tise_tpu.models.counter_model.discriminator import minibatch_stddev
+
+        x = jnp.asarray(np.random.RandomState(0).randn(4, 8, 8, 3).astype(np.float32))
+        y = minibatch_stddev(x)
+        assert y.shape == (4, 8, 8, 4)
+        # constant channel, equal across batch and space
+        chan = np.asarray(y[..., -1])
+        assert np.allclose(chan, chan.flat[0])
+
+    def test_smoke_train(self):
+        metrics = CT.smoke_train(n_steps=1, batch_size=2)
+        for k, v in metrics.items():
+            assert np.isfinite(v), k

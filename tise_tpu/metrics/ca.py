@@ -1,0 +1,132 @@
+"""CA — Counting Alignment (reference: counting_alignment/CA.py).
+
+Per caption item: predict per-class object counts for the generated image
+(448x448, ImageNet normalization, CA.py:121-128) with the PRM counter, then
+RMSE between predicted and ground-truth counts over the classes named in the
+item's ``counting_info`` (predictions for absent classes count as 0,
+CA.py:170-186); CA = mean RMSE over items (lower is better).
+
+TPU redesign: images are counted in batched pjit forwards instead of the
+reference's one-image DataParallel loop; counting is forward-only (see
+tise_tpu/backbones/counter.py on why no input gradients are needed).
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tise_tpu.backbones import counter as counter_lib
+from tise_tpu.backbones.detection.coco_classes import COCO_CLASSES
+from tise_tpu.core import io as result_io
+from tise_tpu.core.data import load_image
+from tise_tpu.core.mesh import make_mesh
+from tise_tpu.ops.preprocess import normalize
+
+IMAGE_SIZE = 448  # CA.py:121
+
+
+class CountingEngine:
+    """Batched sharded counter forward -> per-class count dicts."""
+
+    def __init__(self, params, mesh=None, dtype=jnp.float32):
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.params = params
+        model = counter_lib.FCResNet50PRM(dtype=dtype)
+        data = self.mesh.axis_names[0]
+
+        def fwd(p, images_u8):
+            x = normalize(images_u8, "imagenet")
+            return model.apply(p, x)
+
+        self._fwd = jax.jit(
+            fwd,
+            in_shardings=(NamedSharding(self.mesh, P()), NamedSharding(self.mesh, P(data))),
+            out_shardings=NamedSharding(self.mesh, P(data)),
+        )
+
+    @property
+    def data_parallel(self) -> int:
+        return self.mesh.shape[self.mesh.axis_names[0]]
+
+    def count_batch(self, images_u8: np.ndarray) -> List[Dict[str, float]]:
+        b = images_u8.shape[0]
+        pad = (-b) % self.data_parallel
+        if pad:
+            images_u8 = np.concatenate([images_u8, np.zeros((pad,) + images_u8.shape[1:], images_u8.dtype)])
+        conf, density = self._fwd(self.params, images_u8)
+        counts = counter_lib.predict_counts(np.asarray(conf), np.asarray(density))[:b]
+        out = []
+        for row in counts:
+            out.append({COCO_CLASSES[i]: float(c) for i, c in enumerate(row) if c})
+        return out
+
+
+def rmse_for_item(pred: Dict[str, float], gt: Dict[str, float]) -> float:
+    """Reference pairing (CA.py:176-185): iterate GT classes; missing
+    predictions count 0."""
+    gt_vals, pred_vals = [], []
+    for key, val in gt.items():
+        gt_vals.append(float(val))
+        pred_vals.append(float(pred.get(key, 0.0)))
+    sq = np.mean((np.asarray(gt_vals) - np.asarray(pred_vals)) ** 2)
+    return math.sqrt(sq)
+
+
+def compute_ca(
+    counting_data: Sequence[Dict],
+    image_dir: str,
+    engine: CountingEngine,
+    *,
+    batch_size: int = 32,
+    num_workers: int = 8,
+) -> float:
+    n = len(counting_data)
+    rmse = np.zeros(n)
+    with ThreadPoolExecutor(max_workers=num_workers) as pool:
+        for start in range(0, n, batch_size):
+            chunk = list(range(start, min(start + batch_size, n)))
+            imgs = list(
+                pool.map(
+                    lambda i: load_image(
+                        os.path.join(image_dir, f"{counting_data[i]['caption_id']}.png"),
+                        (IMAGE_SIZE, IMAGE_SIZE),
+                    ),
+                    chunk,
+                )
+            )
+            preds = engine.count_batch(np.stack(imgs))
+            for j, i in enumerate(chunk):
+                rmse[i] = rmse_for_item(preds[j], counting_data[i]["counting_info"])
+    return float(np.mean(rmse))
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description="Calculating Counting metric")
+    p.add_argument("--image_dir", default="", type=str)
+    p.add_argument("--ct_input_file", default="captions/CA_input_captions.pkl", type=str)
+    p.add_argument("--gpu_id", default=0, type=int, help="ignored (TPU build)")
+    p.add_argument("--result_file", default="", type=str)
+    p.add_argument("--weights", type=str, required=True, help="CountSeg coco14.pt or converted .npz")
+    p.add_argument("--batch_size", type=int, default=32)
+    args = p.parse_args(argv)
+
+    params = counter_lib.load_counter_params(args.weights)
+    engine = CountingEngine(params)
+    counting_data = result_io.load_pickle(args.ct_input_file)
+    ca = compute_ca(counting_data, args.image_dir, engine, batch_size=args.batch_size)
+    if args.result_file:
+        result_io.write_ca_result(args.result_file, ca)
+    print(f"CA = {ca}")
+
+
+if __name__ == "__main__":
+    main()

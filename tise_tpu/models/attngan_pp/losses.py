@@ -20,6 +20,12 @@ import optax
 NEG_INF = -1e9
 
 
+def _safe_norm(x: jax.Array, axis: int, eps: float = 1e-12) -> jax.Array:
+    """L2 norm with a finite gradient at 0 (jnp.linalg.norm's grad is NaN
+    there; random-init encoders can emit exactly-zero features)."""
+    return jnp.sqrt(jnp.sum(jnp.square(x), axis=axis) + eps)
+
+
 class DamsmWeights(NamedTuple):
     """Smoothing constants (miscc/config.py:41-47)."""
 
@@ -59,7 +65,7 @@ def sent_loss(
     matrix, CE in both directions."""
     b = cnn_code.shape[0]
     num = cnn_code @ rnn_code.T
-    denom = jnp.linalg.norm(cnn_code, axis=1, keepdims=True) * jnp.linalg.norm(rnn_code, axis=1)
+    denom = _safe_norm(cnn_code, 1)[:, None] * _safe_norm(rnn_code, 1)
     scores = num / jnp.clip(denom, eps) * w.gamma3
     return _sym_ce(scores, _class_mask(class_ids, b))
 
@@ -95,7 +101,7 @@ def words_loss(
 
     # cosine per word between words[j] and wei[i, j]
     num = jnp.einsum("jnt,ijnt->ijt", words_emb, wei)
-    denom = jnp.linalg.norm(words_emb, axis=1)[None, :, :] * jnp.linalg.norm(wei, axis=2)
+    denom = _safe_norm(words_emb, 1)[None, :, :] * _safe_norm(wei, 2)
     row_sim = num / jnp.clip(denom, eps)  # [B_img, B_cap, T]
 
     # Eq. 10: log sum over valid words of exp(gamma2 * sim)
