@@ -1,0 +1,113 @@
+"""Auxiliary subsystem tests: generation layouts, visualisation grids,
+profiling meter, download skip-existing, main.py parser defaults."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from tise_tpu.core import download
+from tise_tpu.core.profiling import ThroughputMeter
+from tise_tpu.models import generate, visualize
+from tise_tpu.models.attngan_pp.generator import GanConfig, GNet
+
+
+@pytest.fixture(scope="module")
+def tiny_generator():
+    gan = GanConfig(gf_dim=8, df_dim=8, z_dim=8, condition_dim=8, embedding_dim=16, words_num=6)
+    g = GNet(cfg=gan)
+    v = g.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 8)),
+        jnp.zeros((1, 16)),
+        jnp.zeros((1, 16, 6)),
+        jnp.zeros((1, 6), bool),
+        jax.random.PRNGKey(1),
+        train=True,
+    )
+    from tise_tpu.backbones import damsm
+
+    t = damsm.RNNEncoder(ntoken=12, nhidden=8)
+    tp = t.init(jax.random.PRNGKey(2), jnp.zeros((1, 6), jnp.int32), jnp.ones((1,), jnp.int32))
+    gen = generate.CaptionGenerator(v["params"], v["batch_stats"], tp, gan=gan, ntoken=12, seed=7)
+    wordtoix = {"a": 1, "bird": 2, "red": 3}
+    return gen, wordtoix
+
+
+class TestGeneration:
+    def test_flat_layout(self, tmp_path, tiny_generator):
+        gen, vocab = tiny_generator
+        items = [{"caption_id": 10 + i, "caption": "a red bird"} for i in range(3)]
+        n = generate.generate_flat(items, str(tmp_path), gen, vocab, batch_size=2, words_num=6)
+        assert n == 3
+        assert sorted(os.listdir(tmp_path)) == ["10.png", "11.png", "12.png"]
+        with Image.open(tmp_path / "10.png") as im:
+            assert im.size == (256, 256)
+
+    def test_soa_layout_indexed(self, tmp_path, tiny_generator):
+        gen, vocab = tiny_generator
+        data = {"label_00": [{"caption_id": 5, "caption": "a bird"}]}
+        n = generate.generate_grouped(
+            data, str(tmp_path), gen, vocab, batch_size=2, words_num=6, images_per_caption=3, indexed_names=True
+        )
+        assert n == 3
+        assert sorted(os.listdir(tmp_path / "label_00")) == ["5_0.png", "5_1.png", "5_2.png"]
+
+    def test_deterministic_given_seed(self, tmp_path, tiny_generator):
+        gen, vocab = tiny_generator
+        items = [{"caption_id": 1, "caption": "a bird"}]
+        generate.generate_flat(items, str(tmp_path / "a"), gen, vocab, batch_size=1, words_num=6)
+        generate.generate_flat(items, str(tmp_path / "b"), gen, vocab, batch_size=1, words_num=6)
+        a = np.asarray(Image.open(tmp_path / "a" / "1.png"))
+        b = np.asarray(Image.open(tmp_path / "b" / "1.png"))
+        np.testing.assert_array_equal(a, b)
+
+
+class TestVisualize:
+    def test_super_image_grid(self, tmp_path):
+        b, h, t, ah = 2, 32, 4, 8
+        rng = np.random.RandomState(0)
+        images = rng.rand(b, h, h, 3).astype(np.float32) * 2 - 1
+        attn = rng.rand(b, t, ah, ah).astype(np.float32)
+        caps = np.array([[1, 2, 3, 0], [2, 1, 0, 0]])
+        lens = np.array([3, 2])
+        path = str(tmp_path / "grid.png")
+        visualize.save_img_results(path, images, attn, caps, lens, {1: "a", 2: "bird", 3: "red"})
+        with Image.open(path) as im:
+            assert im.size[0] == (1 + 8) * h  # 1 image + max_words columns
+
+
+class TestProfiling:
+    def test_meter(self, capsys):
+        m = ThroughputMeter(name="x", log_every=2)
+        m.update(10)
+        m.update(10)
+        out = capsys.readouterr().out
+        assert "[x]" in out and "images/sec" in out
+        summary = json.loads(m.summary())
+        assert summary["images"] == 20
+
+
+class TestDownload:
+    def test_skip_existing(self, tmp_path, capsys):
+        dest = tmp_path / "file.zip"
+        dest.write_bytes(b"x")
+        out = download.fetch_and_unzip("fake_id", str(dest))
+        assert out == str(dest)
+        assert "skipping" in capsys.readouterr().out
+
+
+class TestMainParser:
+    def test_reference_defaults(self):
+        from tise_tpu.models.main import get_parameters
+
+        args = get_parameters().parse_args(
+            ["--data_dir", "d", "--net_e", "t.npz", "--image_encoder", "i.npz"]
+        )
+        assert args.batch_size == 64 and args.max_epoch == 600
+        assert args.d_lr == 2e-4 and args.g_lr == 2e-4
+        assert args.gf_dim == 128 and args.z_dim == 100 and args.words_num == 18
