@@ -38,7 +38,7 @@ def main() -> None:
     on_tpu = jax.default_backend() not in ("cpu",)
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     batch = 256 if on_tpu else 8
-    iters = 10 if on_tpu else 2
+    iters = 30 if on_tpu else 2
 
     inception = inception_v3.InceptionV3(num_classes=1000, dtype=dtype)
     clip = clip_vit.CLIP(dtype=dtype)

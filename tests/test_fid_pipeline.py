@@ -107,3 +107,28 @@ class TestResultFormats:
         assert "(SOA-C) is: 0.6783" in text
         assert "(SOA-I) is: 0.6997" in text
         assert "0.7530 and 0.6036" in text
+
+
+class TestDeviceResize:
+    def test_device_resize_close_to_host_path(self, tmp_path, params):
+        """The --device-resize fast path must track the host-PIL path closely
+        (antialiased bilinear vs PIL convolution resampling)."""
+        _write_images(tmp_path / "a", 12, seed=7, size=64)
+        ex_host = fid_metric.make_pool3_extractor(params)
+        ex_dev = fid_metric.make_pool3_extractor(params, device_resize_from=64)
+        m1, s1 = fid_metric.compute_statistics_of_path(str(tmp_path / "a"), ex_host, batch_size=6)
+        m2, s2 = fid_metric.compute_statistics_of_path(
+            str(tmp_path / "a"), ex_dev, batch_size=6, host_image_size=64
+        )
+        # random-init pool3 features are tiny; compare in relative scale
+        denom = np.abs(m1).mean() + 1e-12
+        assert np.abs(m1 - m2).mean() / denom < 0.15
+
+    def test_resize_and_normalize_shape(self, rng):
+        import jax.numpy as jnp
+
+        from tise_tpu.ops.preprocess import resize_and_normalize
+
+        u8 = rng.randint(0, 256, (2, 64, 64, 3)).astype(np.uint8)
+        out = resize_and_normalize(jnp.asarray(u8), "fid", 299)
+        assert out.shape == (2, 299, 299, 3)

@@ -106,6 +106,29 @@ class MetricConfig:
     dtype: str = "float32"
 
 
+def configure_precision(mode: str = "highest") -> None:
+    """Set the global matmul/conv precision for metric runs.
+
+    TPU's default f32 matmul path uses bf16 passes (~2e-3 relative error vs
+    the reference's CPU/CUDA fp32 — measured on the DAMSM encoder); metric
+    CLIs default to "highest" so values match the reference to float
+    tolerance (BASELINE.json).  Pass "fast" (--precision fast) to trade
+    parity for extraction throughput.
+    """
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", {"fast": "fastest", "highest": "highest"}[mode])
+
+
+def add_precision_flag(parser) -> None:
+    parser.add_argument(
+        "--precision",
+        choices=["highest", "fast"],
+        default="highest",
+        help="matmul precision: 'highest' = reference float parity (default), 'fast' = max throughput",
+    )
+
+
 def asdict(cfg: Any) -> dict:
     return dataclasses.asdict(cfg)
 

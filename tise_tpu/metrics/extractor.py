@@ -21,11 +21,16 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tise_tpu.core.data import Batch, ImageFolderLoader
 from tise_tpu.core.mesh import make_mesh
-from tise_tpu.ops.preprocess import normalize
+from tise_tpu.ops.preprocess import normalize, resize_and_normalize
 
 
 class BatchedExtractor:
-    """jit + shard a (params, uint8 batch) -> {name: features} forward."""
+    """jit + shard a (params, uint8 batch) -> {name: features} forward.
+
+    ``device_resize_to``: fuse the resize into the device program (host sends
+    native-size uint8; jax.image antialiased resize ~= PIL, documented
+    deviation) — the fast path for >=5k img/s extraction.
+    """
 
     def __init__(
         self,
@@ -35,13 +40,17 @@ class BatchedExtractor:
         recipe: str,
         mesh: Optional[Mesh] = None,
         donate: bool = False,
+        device_resize_to: Optional[int] = None,
     ):
         self.mesh = mesh if mesh is not None else make_mesh()
         self.params = params
         data_axis = self.mesh.axis_names[0]
 
         def fwd(params, images_u8):
-            x = normalize(images_u8, recipe)
+            if device_resize_to is not None:
+                x = resize_and_normalize(images_u8, recipe, device_resize_to)
+            else:
+                x = normalize(images_u8, recipe)
             return apply_fn(params, x)
 
         batch_sharding = NamedSharding(self.mesh, P(data_axis, None, None, None))
@@ -58,8 +67,17 @@ class BatchedExtractor:
         return self.mesh.shape[self.mesh.axis_names[0]]
 
     def __call__(self, images_u8: np.ndarray) -> Dict[str, jax.Array]:
+        n = images_u8.shape[0]
+        pad = (-n) % self.data_parallel  # batch must divide over the data axis
+        if pad:
+            images_u8 = np.concatenate(
+                [images_u8, np.zeros((pad,) + images_u8.shape[1:], images_u8.dtype)]
+            )
         x = jax.device_put(images_u8, self._batch_sharding)
-        return self._fwd(self.params, x)
+        out = self._fwd(self.params, x)
+        if pad:
+            out = {k: v[:n] for k, v in out.items()}
+        return out
 
     def run(self, loader: Iterable[Batch], keys: Optional[Sequence[str]] = None) -> Dict[str, np.ndarray]:
         """Drain a loader; returns host arrays with padding rows removed.

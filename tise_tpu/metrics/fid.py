@@ -22,19 +22,26 @@ import numpy as np
 
 from tise_tpu.backbones import inception_v3
 from tise_tpu.core import io as result_io
+from tise_tpu.core.config import add_precision_flag, configure_precision
 from tise_tpu.core.data import ImageFolderLoader
 from tise_tpu.core.mesh import make_mesh
 from tise_tpu.metrics.extractor import BatchedExtractor
 from tise_tpu.ops import sqrtm, stats
 
 
-def make_pool3_extractor(params, mesh=None, dtype=None) -> BatchedExtractor:
+def make_pool3_extractor(params, mesh=None, dtype=None, device_resize_from: int = 0) -> BatchedExtractor:
     model = inception_v3.InceptionV3(dtype=dtype or jax.numpy.float32)
 
     def apply_fn(p, x):
         return model.apply(p, x, endpoints=("pool3",))
 
-    return BatchedExtractor(apply_fn, params, recipe="fid", mesh=mesh)
+    return BatchedExtractor(
+        apply_fn,
+        params,
+        recipe="fid",
+        mesh=mesh,
+        device_resize_to=299 if device_resize_from else None,
+    )
 
 
 def compute_statistics_of_path(
@@ -44,9 +51,11 @@ def compute_statistics_of_path(
     *,
     legacy_compat: bool = False,
     streaming: bool = False,
+    host_image_size: int = 299,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """mu/sigma of a folder (or load a cached npz).  Mirrors
-    fid_score.py:199-220."""
+    fid_score.py:199-220.  ``host_image_size`` < 299 pairs with a
+    device-resize extractor (decode-only host path)."""
     import os
 
     if not os.path.exists(path):
@@ -54,7 +63,7 @@ def compute_statistics_of_path(
     if path.endswith(".npz"):
         return result_io.load_stats_npz(path)
     assert extractor is not None
-    loader = ImageFolderLoader.from_dir(path, batch_size, 299, drop_last=legacy_compat)
+    loader = ImageFolderLoader.from_dir(path, batch_size, host_image_size, drop_last=legacy_compat)
     if loader.num_images() == 0:
         raise RuntimeError(f"No images found under: {path}")
     acts = extractor.run(loader, keys=("pool3",))["pool3"]
@@ -78,12 +87,18 @@ def calculate_fid_given_paths(
     mesh=None,
     legacy_compat: bool = False,
     sqrtm_method: str = "scipy",
+    device_resize_from: int = 0,
 ) -> float:
     extractor = None
     if not (path1.endswith(".npz") and path2.endswith(".npz")):
-        extractor = make_pool3_extractor(params, mesh=mesh)
-    m1, s1 = compute_statistics_of_path(path1, extractor, batch_size, legacy_compat=legacy_compat)
-    m2, s2 = compute_statistics_of_path(path2, extractor, batch_size, legacy_compat=legacy_compat)
+        extractor = make_pool3_extractor(params, mesh=mesh, device_resize_from=device_resize_from)
+    size = device_resize_from or 299
+    m1, s1 = compute_statistics_of_path(
+        path1, extractor, batch_size, legacy_compat=legacy_compat, host_image_size=size
+    )
+    m2, s2 = compute_statistics_of_path(
+        path2, extractor, batch_size, legacy_compat=legacy_compat, host_image_size=size
+    )
     return sqrtm.frechet_distance(m1, s1, m2, s2, method=sqrtm_method)
 
 
@@ -112,7 +127,15 @@ def main(argv=None) -> None:
     p.add_argument("--weights", type=str, default=None, help="inception weights (.pth/.npz)")
     p.add_argument("--legacy-compat", action="store_true", help="reproduce drop_last tail discard")
     p.add_argument("--sqrtm", type=str, default="scipy", choices=["scipy", "eigh", "ns"])
+    p.add_argument(
+        "--device-resize-from",
+        type=int,
+        default=0,
+        help="source image size; resize 299 happens on-device (fast path, ~PIL parity)",
+    )
+    add_precision_flag(p)
     args = p.parse_args(argv)
+    configure_precision(args.precision)
 
     params = None
     if not (args.path1.endswith(".npz") and args.path2.endswith(".npz")):
@@ -124,6 +147,7 @@ def main(argv=None) -> None:
         args.batch_size,
         legacy_compat=args.legacy_compat,
         sqrtm_method=args.sqrtm,
+        device_resize_from=args.device_resize_from,
     )
     if args.saved_file:
         result_io.write_fid_result(args.saved_file, fid_value)

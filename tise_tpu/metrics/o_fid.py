@@ -12,6 +12,7 @@ from __future__ import annotations
 import argparse
 
 from tise_tpu.core import io as result_io
+from tise_tpu.core.config import add_precision_flag, configure_precision
 from tise_tpu.metrics import fid as fid_metric
 
 
@@ -26,7 +27,9 @@ def main(argv=None) -> None:
     p.add_argument("--weights", type=str, default=None, help="80-class fine-tuned inception (.pth/.npz)")
     p.add_argument("--legacy-compat", action="store_true")
     p.add_argument("--sqrtm", type=str, default="scipy", choices=["scipy", "eigh", "ns"])
+    add_precision_flag(p)
     args = p.parse_args(argv)
+    configure_precision(args.precision)
 
     params = None
     if not (args.path1.endswith(".npz") and args.path2.endswith(".npz")):

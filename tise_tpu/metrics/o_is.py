@@ -21,7 +21,7 @@ import numpy as np
 
 from tise_tpu.backbones import inception_v3
 from tise_tpu.core import io as result_io
-from tise_tpu.core.config import NUM_SPLITS, O_IS_TEMPERATURE
+from tise_tpu.core.config import add_precision_flag, configure_precision, NUM_SPLITS, O_IS_TEMPERATURE
 from tise_tpu.core.data import ImageFolderLoader
 from tise_tpu.metrics.extractor import BatchedExtractor
 from tise_tpu.ops import kl
@@ -56,7 +56,9 @@ def main(argv=None) -> None:
     p.add_argument("--gpu_id", type=int, default=0, help="ignored (TPU build)")
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--weights", type=str, required=True, help="80-class fine-tuned inception (.pth/.npz)")
+    add_precision_flag(p)
     args = p.parse_args(argv)
+    configure_precision(args.precision)
 
     from tise_tpu.core import weights as weights_io
 

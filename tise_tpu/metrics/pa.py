@@ -21,7 +21,7 @@ import numpy as np
 
 from tise_tpu.backbones.clip_tokenizer import SimpleTokenizer
 from tise_tpu.core import io as result_io
-from tise_tpu.core.config import PA_SUCCESS_THRESHOLD
+from tise_tpu.core.config import add_precision_flag, configure_precision, PA_SUCCESS_THRESHOLD
 from tise_tpu.core.data import center_crop_resize
 from tise_tpu.metrics.clip_scorer import ClipPairScorer
 
@@ -89,7 +89,9 @@ def main(argv=None) -> None:
     p.add_argument("--weights", type=str, required=True, help="CLIP ViT-B/32 weights (.pt/.npz)")
     p.add_argument("--bpe_path", type=str, required=True)
     p.add_argument("--batch_size", type=int, default=64)
+    add_precision_flag(p)
     args = p.parse_args(argv)
+    configure_precision(args.precision)
 
     from tise_tpu.backbones import clip_vit
 

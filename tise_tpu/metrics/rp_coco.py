@@ -23,7 +23,7 @@ import numpy as np
 
 from tise_tpu.backbones.clip_tokenizer import SimpleTokenizer
 from tise_tpu.core import io as result_io
-from tise_tpu.core.config import NUM_SPLITS
+from tise_tpu.core.config import add_precision_flag, configure_precision, NUM_SPLITS
 from tise_tpu.core.data import center_crop_resize
 from tise_tpu.metrics.clip_scorer import ClipPairScorer
 
@@ -97,7 +97,9 @@ def main(argv=None) -> None:
     p.add_argument("--bpe_path", type=str, required=True, help="CLIP BPE vocab (bpe_simple_vocab_16e6.txt.gz)")
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
+    add_precision_flag(p)
     args = p.parse_args(argv)
+    configure_precision(args.precision)
 
     from tise_tpu.backbones import clip_vit
 

@@ -111,6 +111,25 @@ def normalize_pallas(images_u8: jax.Array, recipe: str, dtype=jnp.float32) -> ja
     return out.reshape(b, h, w, c)
 
 
+@functools.partial(jax.jit, static_argnames=("recipe", "out_size", "antialias", "dtype"))
+def resize_and_normalize(
+    images_u8: jax.Array, recipe: str, out_size: int, antialias: bool = True, dtype=jnp.float32
+) -> jax.Array:
+    """Device-side resize + normalize fast path.
+
+    Offloads the per-image PIL resize to the TPU (one fused jit: uint8 in,
+    normalized activations out).  ``jax.image.resize`` with antialias matches
+    PIL's convolution resampling closely but not bit-exactly (documented
+    deviation; the default host path keeps exact PIL parity — SURVEY.md
+    "Hard parts" preprocessing recipes).
+    """
+    x = normalize(images_u8, recipe, dtype)
+    b, h, w, c = x.shape
+    if (h, w) == (out_size, out_size):
+        return x
+    return jax.image.resize(x, (b, out_size, out_size, c), method="linear", antialias=antialias)
+
+
 def resize_bilinear_align_corners(x: jax.Array, size: Tuple[int, int]) -> jax.Array:
     """torch ``F.upsample(mode='bilinear', align_corners=True)`` parity.
 

@@ -23,6 +23,11 @@ COCO frozen graph (trunk constants + the bias-free softmax weight matrix
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 
 import numpy as np
