@@ -171,3 +171,16 @@ class TestCalibration:
         labels = np.array([rng.choice(c, p=p) for p in probs])
         t, nll_b, ece_b, nll_a, ece_a = calib.calibration_report(raw, labels)
         assert nll_a <= nll_b + 1e-6
+
+
+class TestReliabilityDiagram:
+    def test_bins_sum_and_calibrated_diagonal(self, rng):
+        n, c = 3000, 6
+        raw = rng.randn(n, c) * 2
+        probs = np.exp(raw) / np.exp(raw).sum(1, keepdims=True)
+        labels = np.array([rng.choice(c, p=p) for p in probs])
+        conf, acc, frac = calib.reliability_diagram(raw, labels)
+        np.testing.assert_allclose(frac.sum(), 1.0, atol=1e-9)
+        # calibrated logits: accuracy tracks confidence in populated bins
+        mask = frac > 0.03
+        assert np.abs(conf[mask] - acc[mask]).mean() < 0.1

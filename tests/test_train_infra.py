@@ -141,3 +141,42 @@ class TestCounterModel:
         metrics = CT.smoke_train(n_steps=1, batch_size=2)
         for k, v in metrics.items():
             assert np.isfinite(v), k
+
+
+class TestSampling:
+    def _stub_dataset(self, tmp_path, n=4, words_num=5):
+        from tise_tpu.models.datasets import TextImageDataset
+
+        d = TextImageDataset.__new__(TextImageDataset)
+        d.words_num = words_num
+        d.embeddings_num = 1
+        d.rng = np.random.RandomState(0)
+        d.filenames = [f"f{i}" for i in range(n)]
+        d.captions = [[1 + (i % 3), 2] for i in range(n)]
+        d.ixtoword = {0: "<end>", 1: "a", 2: "bird", 3: "red"}
+        d.wordtoix = {v: k for k, v in d.ixtoword.items()}
+        d.n_words = 4
+        d.class_id = np.arange(n)
+        return d
+
+    def test_train_time_r_precision_with_stub_scorer(self, tmp_path):
+        from PIL import Image
+
+        from tise_tpu.models import sampling
+
+        ds = self._stub_dataset(tmp_path)
+        for i in range(4):
+            arr = np.full((256, 256, 3), i, np.uint8)
+            Image.fromarray(arr).save(tmp_path / f"{i}.png")
+
+        class StubScorer:
+            max_len = 8
+
+            def scores(self, images, caps, lens):
+                b, k = caps.shape[0], caps.shape[1]
+                out = np.zeros((b, k), np.float32)
+                out[:, 0] = 1.0  # GT always wins
+                return out
+
+        rp = sampling.train_time_r_precision(ds, str(tmp_path), StubScorer(), batch_size=2)
+        assert rp == 1.0

@@ -80,6 +80,30 @@ def calibration_report(
     return t, nll_before, ece(logits, labels, n_bins), nll_after, ece(logits, labels, n_bins, temperature=t)
 
 
+def reliability_diagram(
+    logits: np.ndarray, labels: np.ndarray, n_bins: int = 15, temperature: float = 1.0
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-bin (mean confidence, accuracy, fraction of samples) — the data
+    behind the notebook's reliability plots (calibration_classifier.ipynb
+    cells 5-7); render with any plotting tool."""
+    logits = np.asarray(logits, np.float64) / temperature
+    e = np.exp(logits - logits.max(axis=1, keepdims=True))
+    probs = e / e.sum(axis=1, keepdims=True)
+    conf = probs.max(axis=1)
+    correct = probs.argmax(axis=1) == np.asarray(labels)
+    edges = np.linspace(0, 1, n_bins + 1)
+    mean_conf = np.zeros(n_bins)
+    accuracy = np.zeros(n_bins)
+    fraction = np.zeros(n_bins)
+    for i, (lo, hi) in enumerate(zip(edges[:-1], edges[1:])):
+        in_bin = (conf > lo) & (conf <= hi)
+        fraction[i] = in_bin.mean()
+        if in_bin.any():
+            mean_conf[i] = conf[in_bin].mean()
+            accuracy[i] = correct[in_bin].mean()
+    return mean_conf, accuracy, fraction
+
+
 def load_validation_npz(path: str) -> Tuple[np.ndarray, np.ndarray]:
     """Load a ``*_validation_feature_data.npz`` cache (notebook cell 3 format:
     arrays of logits and integer labels; accepts common key spellings)."""
