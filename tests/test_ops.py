@@ -157,3 +157,33 @@ class TestPreprocess:
         ref = torch.nn.functional.interpolate(xt, size=(11, 9), mode="bilinear", align_corners=True)
         ref = ref.numpy().transpose(0, 2, 3, 1)
         np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+class TestPallasKernels:
+    def test_epilogue_matmul_vs_reference(self, rng):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from tise_tpu.ops.pallas_kernels import epilogue_matmul
+
+        a = rng.randn(100, 100).astype(np.float32)
+        b = rng.randn(100, 100).astype(np.float32)
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(epilogue_matmul(jnp.asarray(a), jnp.asarray(b), alpha=3.0, beta=-1.0))
+        ref = 3 * np.eye(100) - a @ b
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+    def test_ns_pallas_matches_scipy_trace(self, rng):
+        from tise_tpu.ops.pallas_kernels import newton_schulz_sqrtm_pallas
+
+        s1 = _random_psd(rng, 96)
+        s2 = _random_psd(rng, 96)
+        prod = s1 @ s2
+        y = np.asarray(newton_schulz_sqrtm_pallas(jnp.asarray(prod), iters=30))
+        ref = np.trace(scipy.linalg.sqrtm(prod).real)
+        assert abs(np.trace(y) - ref) / abs(ref) < 1e-3
+
+    def test_frechet_ns_pallas_method(self, rng):
+        mu = rng.randn(64)
+        sigma = _random_psd(rng, 64)
+        d = sqrtm.frechet_distance(mu, sigma, mu, sigma, method="ns-pallas")
+        assert abs(d) < 1e-2

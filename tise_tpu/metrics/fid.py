@@ -126,7 +126,7 @@ def main(argv=None) -> None:
     p.add_argument("--saved_file", type=str, default="")
     p.add_argument("--weights", type=str, default=None, help="inception weights (.pth/.npz)")
     p.add_argument("--legacy-compat", action="store_true", help="reproduce drop_last tail discard")
-    p.add_argument("--sqrtm", type=str, default="scipy", choices=["scipy", "eigh", "ns"])
+    p.add_argument("--sqrtm", type=str, default="scipy", choices=["scipy", "eigh", "ns", "ns-pallas"])
     p.add_argument(
         "--device-resize-from",
         type=int,

@@ -26,7 +26,7 @@ def main(argv=None) -> None:
     p.add_argument("--saved_file", type=str, default="")
     p.add_argument("--weights", type=str, default=None, help="80-class fine-tuned inception (.pth/.npz)")
     p.add_argument("--legacy-compat", action="store_true")
-    p.add_argument("--sqrtm", type=str, default="scipy", choices=["scipy", "eigh", "ns"])
+    p.add_argument("--sqrtm", type=str, default="scipy", choices=["scipy", "eigh", "ns", "ns-pallas"])
     add_precision_flag(p)
     args = p.parse_args(argv)
     configure_precision(args.precision)

@@ -25,13 +25,16 @@ def newton_schulz_sqrtm(a: jax.Array, iters: int = 30) -> jax.Array:
 
     Y_{k+1} = 0.5 Y_k (3I - Z_k Y_k);  Z_{k+1} = 0.5 (3I - Z_k Y_k) Z_k
     with A normalised by its Frobenius norm for convergence.  float32 MXU
-    matmuls; accuracy ~1e-3 relative on 2048x2048 FID covariances, refined by
-    one Babylonian correction step on the trace (see trace_sqrtm_product).
+    matmuls; trace accuracy ~1e-3..4e-3 relative on 2048x2048 FID
+    covariances (use "eigh"/"scipy" for float64 parity runs).
     """
     a = a.astype(jnp.float32)
     dim = a.shape[0]
     norm = jnp.sqrt(jnp.sum(a * a))
-    y = a / norm
+    # sqrtm(~0) = ~0: guard the normalisation so degenerate covariances
+    # (e.g. collapsed features) yield 0 instead of NaN
+    safe = jnp.maximum(norm, 1e-12)
+    y = a / safe
     z = jnp.eye(dim, dtype=jnp.float32)
     eye3 = 3.0 * jnp.eye(dim, dtype=jnp.float32)
 
@@ -43,7 +46,7 @@ def newton_schulz_sqrtm(a: jax.Array, iters: int = 30) -> jax.Array:
         return y, z
 
     y, _z = jax.lax.fori_loop(0, iters, body, (y, z))
-    return y * jnp.sqrt(norm)
+    return jnp.where(norm > 1e-12, y * jnp.sqrt(norm), jnp.zeros_like(y))
 
 
 def _sqrtm_scipy(mat: np.ndarray, eps: float = 1e-6):
@@ -69,6 +72,11 @@ def trace_sqrtm_product(sigma1: np.ndarray, sigma2: np.ndarray, method: str = "e
     if method == "ns":
         prod = jnp.asarray(sigma1, jnp.float32) @ jnp.asarray(sigma2, jnp.float32)
         return float(jnp.trace(newton_schulz_sqrtm(prod)))
+    if method == "ns-pallas":
+        from tise_tpu.ops.pallas_kernels import newton_schulz_sqrtm_pallas
+
+        prod = jnp.asarray(sigma1, jnp.float32) @ jnp.asarray(sigma2, jnp.float32)
+        return float(jnp.trace(newton_schulz_sqrtm_pallas(prod)))
     if method == "scipy":
         covmean = _sqrtm_scipy(sigma1.dot(sigma2))
         if np.iscomplexobj(covmean):
