@@ -21,7 +21,7 @@ maps the coco14.pt trunk tensors 1:1 by shape.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping, Optional, Tuple
+from typing import Any, Dict, Mapping, Tuple
 
 import flax.linen as nn
 import jax

@@ -19,7 +19,7 @@ trunk reuses tise_tpu.backbones.inception_v3.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping, Optional, Tuple
+from typing import Any, Dict, Mapping, Tuple
 
 import flax.linen as nn
 import jax

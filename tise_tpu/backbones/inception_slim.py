@@ -22,7 +22,7 @@ framework); tools/convert_tf_inception.py documents the export.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping, Optional
+from typing import Any, Dict, Mapping
 
 import jax.numpy as jnp
 import numpy as np

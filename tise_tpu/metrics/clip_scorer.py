@@ -10,7 +10,7 @@ similarity, exactly what ``model(image, text)`` yields item-wise.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -14,9 +14,8 @@ from __future__ import annotations
 
 import argparse
 import os
-from typing import Callable, Dict, List, Sequence, Tuple
+from typing import Sequence
 
-import numpy as np
 from PIL import Image
 
 from tise_tpu.backbones.detection.coco_classes import COCO_CLASSES

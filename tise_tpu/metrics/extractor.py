@@ -15,11 +15,10 @@ from __future__ import annotations
 from typing import Callable, Dict, Iterable, List, Optional, Sequence
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from tise_tpu.core.data import Batch, ImageFolderLoader
+from tise_tpu.core.data import Batch
 from tise_tpu.core.mesh import make_mesh
 from tise_tpu.ops.preprocess import normalize, resize_and_normalize
 

@@ -24,7 +24,6 @@ from tise_tpu.backbones import inception_v3
 from tise_tpu.core import io as result_io
 from tise_tpu.core.config import add_precision_flag, configure_precision
 from tise_tpu.core.data import ImageFolderLoader
-from tise_tpu.core.mesh import make_mesh
 from tise_tpu.metrics.extractor import BatchedExtractor
 from tise_tpu.ops import sqrtm, stats
 

@@ -20,7 +20,7 @@ The backbone is the slim-architecture InceptionV3
 from __future__ import annotations
 
 import argparse
-from typing import Callable, Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

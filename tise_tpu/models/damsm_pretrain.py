@@ -18,7 +18,7 @@ implements the functional 3-value variant.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import flax
 import jax

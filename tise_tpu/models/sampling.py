@@ -14,9 +14,8 @@ Two jobs the reference folds into one method:
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Tuple
+from typing import Optional
 
-import jax
 import numpy as np
 
 from tise_tpu.metrics.rp_cub import DamsmScorer, pack_caption_sets

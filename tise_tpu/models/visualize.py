@@ -9,7 +9,7 @@ by the trainer's snapshot hook like the reference's save_img_results
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict
 
 import numpy as np
 from PIL import Image, ImageDraw

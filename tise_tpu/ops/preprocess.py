@@ -86,8 +86,7 @@ def normalize_pallas(images_u8: jax.Array, recipe: str, dtype=jnp.float32) -> ja
         return normalize(images_u8, recipe, dtype)
 
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
+    
     scale, shift = RECIPES[recipe]
     b, h, w, c = images_u8.shape
     flat = images_u8.reshape(b, h * w * c)
