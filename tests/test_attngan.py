@@ -183,7 +183,25 @@ class TestTrainStep:
         np.testing.assert_allclose(new_e, 0.999 * old_p + 0.001 * new_p, rtol=1e-4, atol=1e-6)
 
     def test_sharded_step_matches_dryrun(self):
-        """The multichip dryrun path must execute on the 8-device CPU mesh."""
-        import __graft_entry__ as graft
+        """The multichip dryrun must pass in a clean subprocess — exactly how
+        the driver invokes it: no conftest, default platform, self-provisioned
+        virtual CPU devices.  (In-process it also SIGABRTed the full suite on
+        1-CPU hosts; a subprocess isolates the XLA:CPU memory it needs.)"""
+        import os
+        import subprocess
+        import sys
 
-        graft.dryrun_multichip(8)
+        env = {k: v for k, v in os.environ.items() if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+        # reuse the suite's machine-keyed persistent compile cache (conftest
+        # configured it via jax.config; the subprocess picks it up via env)
+        env["JAX_COMPILATION_CACHE_DIR"] = jax.config.jax_compilation_cache_dir
+        proc = subprocess.run(
+            [sys.executable, "-c", "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        assert "dryrun_multichip ok: mesh=(4x2) devices=8" in proc.stdout

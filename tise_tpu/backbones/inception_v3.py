@@ -61,14 +61,19 @@ def _max_pool(x, k=3, s=2):
     return nn.max_pool(x, (k, k), strides=(s, s), padding="VALID")
 
 
-def _avg_pool_3x3_s1_p1(x):
-    # torch avg_pool2d(3, stride=1, padding=1) uses count_include_pad=True
-    return nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)), count_include_pad=True)
+def _avg_pool_3x3_s1_p1(x, count_include_pad=True):
+    # torch avg_pool2d(3, stride=1, padding=1) uses count_include_pad=True;
+    # TF avg_pool SAME divides by the number of in-bounds taps (exclude-pad) —
+    # the slim / 2015-GraphDef flavors need count_include_pad=False.
+    return nn.avg_pool(
+        x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)), count_include_pad=count_include_pad
+    )
 
 
 class InceptionA(nn.Module):
     pool_features: int
     dtype: Any = jnp.float32
+    tf_avgpool: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -79,7 +84,7 @@ class InceptionA(nn.Module):
         b3 = BasicConv2d(64, (1, 1), dtype=d, name="branch3x3dbl_1")(x)
         b3 = BasicConv2d(96, (3, 3), padding=(1, 1), dtype=d, name="branch3x3dbl_2")(b3)
         b3 = BasicConv2d(96, (3, 3), padding=(1, 1), dtype=d, name="branch3x3dbl_3")(b3)
-        bp = _avg_pool_3x3_s1_p1(x)
+        bp = _avg_pool_3x3_s1_p1(x, not self.tf_avgpool)
         bp = BasicConv2d(self.pool_features, (1, 1), dtype=d, name="branch_pool")(bp)
         return jnp.concatenate([b1, b5, b3, bp], axis=-1)
 
@@ -101,6 +106,7 @@ class InceptionB(nn.Module):
 class InceptionC(nn.Module):
     channels_7x7: int
     dtype: Any = jnp.float32
+    tf_avgpool: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -114,7 +120,7 @@ class InceptionC(nn.Module):
         bd = BasicConv2d(c7, (1, 7), padding=(0, 3), dtype=d, name="branch7x7dbl_3")(bd)
         bd = BasicConv2d(c7, (7, 1), padding=(3, 0), dtype=d, name="branch7x7dbl_4")(bd)
         bd = BasicConv2d(192, (1, 7), padding=(0, 3), dtype=d, name="branch7x7dbl_5")(bd)
-        bp = _avg_pool_3x3_s1_p1(x)
+        bp = _avg_pool_3x3_s1_p1(x, not self.tf_avgpool)
         bp = BasicConv2d(192, (1, 1), dtype=d, name="branch_pool")(bp)
         return jnp.concatenate([b1, b7, bd, bp], axis=-1)
 
@@ -137,6 +143,8 @@ class InceptionD(nn.Module):
 
 class InceptionE(nn.Module):
     dtype: Any = jnp.float32
+    tf_avgpool: bool = False
+    maxpool_branch: bool = False  # the 2015 GraphDef's mixed_10 quirk
 
     @nn.compact
     def __call__(self, x):
@@ -151,7 +159,10 @@ class InceptionE(nn.Module):
         bda = BasicConv2d(384, (1, 3), padding=(0, 1), dtype=d, name="branch3x3dbl_3a")(bd)
         bdb = BasicConv2d(384, (3, 1), padding=(1, 0), dtype=d, name="branch3x3dbl_3b")(bd)
         bd = jnp.concatenate([bda, bdb], axis=-1)
-        bp = _avg_pool_3x3_s1_p1(x)
+        if self.maxpool_branch:
+            bp = nn.max_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)))
+        else:
+            bp = _avg_pool_3x3_s1_p1(x, not self.tf_avgpool)
         bp = BasicConv2d(192, (1, 1), dtype=d, name="branch_pool")(bp)
         return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
@@ -172,6 +183,14 @@ class InceptionV3(nn.Module):
 
     num_classes: int = 1000
     dtype: Any = jnp.float32
+    #: "torch"  — torchvision semantics (FID / O-IS / O-FID / DAMSM): avg pool
+    #:           branches divide by 9 incl. padding (count_include_pad=True).
+    #: "tf"     — TF-slim semantics (IS* CUB): avg pool divides by in-bounds
+    #:           tap count (tf.nn.avg_pool SAME).
+    #: "tf2015" — the frozen 2015 ImageNet GraphDef (IS* COCO): "tf" plus the
+    #:           graph's mixed_10 quirk where the pool branch is a MAX pool
+    #:           (the pytorch-fid FIDInceptionE_2 patch documents the same).
+    pool_variant: str = "torch"
 
     @nn.compact
     def __call__(self, x: jax.Array, endpoints: Sequence[str] = ("pool3",)) -> Dict[str, jax.Array]:
@@ -180,6 +199,9 @@ class InceptionV3(nn.Module):
             if e not in ENDPOINTS:
                 raise ValueError(f"unknown endpoint {e}")
         last = max(ENDPOINTS.index(e) for e in want)
+        if self.pool_variant not in ("torch", "tf", "tf2015"):
+            raise ValueError(f"unknown pool_variant {self.pool_variant}")
+        tf_pool = self.pool_variant in ("tf", "tf2015")
         d = self.dtype
         out: Dict[str, jax.Array] = {}
 
@@ -199,21 +221,23 @@ class InceptionV3(nn.Module):
         if last == 1:
             return out
 
-        x = InceptionA(32, dtype=d, name="Mixed_5b")(x)
-        x = InceptionA(64, dtype=d, name="Mixed_5c")(x)
-        x = InceptionA(64, dtype=d, name="Mixed_5d")(x)
+        x = InceptionA(32, dtype=d, tf_avgpool=tf_pool, name="Mixed_5b")(x)
+        x = InceptionA(64, dtype=d, tf_avgpool=tf_pool, name="Mixed_5c")(x)
+        x = InceptionA(64, dtype=d, tf_avgpool=tf_pool, name="Mixed_5d")(x)
         x = InceptionB(dtype=d, name="Mixed_6a")(x)
-        x = InceptionC(128, dtype=d, name="Mixed_6b")(x)
-        x = InceptionC(160, dtype=d, name="Mixed_6c")(x)
-        x = InceptionC(160, dtype=d, name="Mixed_6d")(x)
-        x = InceptionC(192, dtype=d, name="Mixed_6e")(x)
+        x = InceptionC(128, dtype=d, tf_avgpool=tf_pool, name="Mixed_6b")(x)
+        x = InceptionC(160, dtype=d, tf_avgpool=tf_pool, name="Mixed_6c")(x)
+        x = InceptionC(160, dtype=d, tf_avgpool=tf_pool, name="Mixed_6d")(x)
+        x = InceptionC(192, dtype=d, tf_avgpool=tf_pool, name="Mixed_6e")(x)
         out["mixed6e"] = x
         if last == 2:
             return out
 
         x = InceptionD(dtype=d, name="Mixed_7a")(x)
-        x = InceptionE(dtype=d, name="Mixed_7b")(x)
-        x = InceptionE(dtype=d, name="Mixed_7c")(x)
+        x = InceptionE(dtype=d, tf_avgpool=tf_pool, name="Mixed_7b")(x)
+        x = InceptionE(
+            dtype=d, tf_avgpool=tf_pool, maxpool_branch=self.pool_variant == "tf2015", name="Mixed_7c"
+        )(x)
         x = jnp.mean(x, axis=(1, 2))  # adaptive avg pool to 1x1
         out["pool3"] = x
         if last == 3:

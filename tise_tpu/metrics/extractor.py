@@ -43,6 +43,8 @@ class BatchedExtractor:
     ):
         self.mesh = mesh if mesh is not None else make_mesh()
         self.params = params
+        self.recipe = recipe
+        self.apply_fn = apply_fn
         data_axis = self.mesh.axis_names[0]
 
         def fwd(params, images_u8):

@@ -10,8 +10,11 @@ Reference behavior:
     ImageNet graph; logits reconstructed as pool3 @ W (no bias, :104-105),
     logits / 0.9091363549232483 (:107), softmax over 1008 classes; NO shuffle,
     every image used (bs=1, :34), same split-KL (:54-58).
-  * preprocess for both: PIL-bilinear resize to 299 on uint8, /127.5-1
-    (:64-71 bird, :115-121 coco).
+  * preprocess: PIL-bilinear resize to 299 on uint8 for both; CUB normalizes
+    /127.5-1 in preprocess() (:64-70 bird) while COCO feeds raw float 0..255
+    and the 2015 graph normalizes (v-128)/128 in-graph (coco :50,115-121 —
+    recipe "is_star_2015"); COCO also needs pool_variant="tf2015" (TF avg-pool
+    divisor + the graph's mixed_10 max-pool quirk), CUB pool_variant="tf".
 
 The backbone is the slim-architecture InceptionV3
 (tise_tpu/backbones/inception_slim.py) run as a sharded pjit forward.

@@ -50,6 +50,10 @@ RECIPES: dict[str, Tuple[Tuple[float, ...], Tuple[float, ...]]] = {
     "fid": (tuple(s / 255.0 for s in _FID_SCALE), _FID_SHIFT),
     # (b) v/127.5 - 1
     "is_star": ((1 / 127.5,) * 3, (-1.0,) * 3),
+    # (b') the 2015 classify_image GraphDef normalizes IN-graph: (v - 128)/128
+    # (Sub/Mul const nodes ahead of 'conv'); the IS* COCO script feeds raw
+    # float 0..255 into ExpandDims:0 (inception_score_star_coco.py:50,115-121)
+    "is_star_2015": ((1 / 128.0,) * 3, (-1.0,) * 3),
     # (c)/(e) Normalize(0.5, 0.5) on [0,1]: v/127.5 - 1 (identical affine)
     "half": ((1 / 127.5,) * 3, (-1.0,) * 3),
     # (d) CLIP

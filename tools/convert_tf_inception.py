@@ -67,9 +67,18 @@ def export_pb(graph: str, output: str) -> None:
             out[node.name] = arr
     np.savez(output, **out)
     print(f"exported {len(out)} constants -> {output}")
-    print("NOTE: map the 2015 node names (conv, mixed, tower...) to slim names")
-    print("with tise_tpu.backbones.inception_slim before use, or keep the raw")
-    print("names and extend the _STEM/_MIXED tables for the 2015 layout.")
+    # Sanity-check the export against the 2015 name tables so a truncated or
+    # renamed graph fails here, not at metric time.
+    from tise_tpu.backbones import inception_slim as slim
+
+    if slim.is_2015_layout(out):
+        missing = slim.missing_2015_names(out)
+        if missing:
+            print(f"WARNING: {len(missing)} expected 2015 node(s) absent, e.g. {missing[:5]}")
+        else:
+            print("2015 layout complete: loads directly via --flavor coco")
+    if "softmax/weights" not in out:
+        print("WARNING: 'softmax/weights' missing — IS* COCO logits need it")
 
 
 def main() -> None:
