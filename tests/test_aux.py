@@ -67,6 +67,69 @@ class TestGeneration:
         np.testing.assert_array_equal(a, b)
 
 
+class TestGenExample:
+    def test_read_example_captions_sorting(self, tmp_path):
+        """main.py:59-67 parity: captions sorted by desc token length, array
+        padded to the file's max length, original indices preserved."""
+        from tise_tpu.models import gen_example
+
+        (tmp_path / "example_filenames.txt").write_text("captions/demo\n\n")
+        (tmp_path / "captions").mkdir()
+        (tmp_path / "captions" / "demo.txt").write_text("a bird\na red red red bird\n\nred\n")
+        wordtoix = {"a": 1, "bird": 2, "red": 3}
+        data = gen_example.read_example_captions(str(tmp_path), wordtoix)
+        assert list(data) == ["demo"]
+        caps, lens, order = data["demo"]
+        np.testing.assert_array_equal(lens, [5, 2, 1])
+        np.testing.assert_array_equal(order, [1, 0, 2])
+        np.testing.assert_array_equal(caps[0], [1, 3, 3, 3, 2])
+        np.testing.assert_array_equal(caps[2], [3, 0, 0, 0, 0])
+
+    def test_cli_end_to_end(self, tmp_path, tiny_generator):
+        """gen_example.main writes the reference's 0_s_<idx>_g<k>.png layout
+        (trainer.py:694-706) plus attention super-images."""
+        import pickle
+
+        from tise_tpu.backbones import damsm
+        from tise_tpu.core import weights as weights_io
+        from tise_tpu.models import gen_example
+
+        gan = GanConfig(gf_dim=8, df_dim=8, z_dim=8, condition_dim=8, embedding_dim=16, words_num=6)
+        g = GNet(cfg=gan)
+        v = g.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 8)), jnp.zeros((1, 16)),
+            jnp.zeros((1, 16, 6)), jnp.zeros((1, 6), bool), jax.random.PRNGKey(1), train=True,
+        )
+        t = damsm.RNNEncoder(ntoken=5, nhidden=8)
+        tp = t.init(jax.random.PRNGKey(2), jnp.zeros((1, 6), jnp.int32), jnp.ones((1,), jnp.int32))
+        weights_io.save_pytree_npz(str(tmp_path / "g.npz"), {"g_ema": v["params"], "g_batch_stats": v["batch_stats"]})
+        weights_io.save_pytree_npz(str(tmp_path / "t.npz"), tp)
+        ixtoword = {0: "<pad>", 1: "a", 2: "bird", 3: "red", 4: "blue"}
+        wordtoix = {w: i for i, w in ixtoword.items()}
+        with open(tmp_path / "captions.pickle", "wb") as f:
+            pickle.dump([None, None, ixtoword, wordtoix], f)
+        (tmp_path / "example_filenames.txt").write_text("demo\n")
+        (tmp_path / "demo.txt").write_text("a red bird\na blue bird\n")
+
+        gen_example.main([
+            "--data_dir", str(tmp_path), "--output_dir", str(tmp_path / "out"),
+            "--checkpoint", str(tmp_path / "g.npz"), "--text_encoder", str(tmp_path / "t.npz"),
+            "--captions_pickle", str(tmp_path / "captions.pickle"),
+            "--words_num", "6", "--gf_dim", "8", "--z_dim", "8",
+            "--condition_dim", "8", "--embedding_dim", "16",
+        ])
+        files = sorted(os.listdir(tmp_path / "out" / "demo"))
+        # 2 captions x (3 scales + 1 attention grid)
+        assert files == [
+            "0_s_0_attn.png", "0_s_0_g0.png", "0_s_0_g1.png", "0_s_0_g2.png",
+            "0_s_1_attn.png", "0_s_1_g0.png", "0_s_1_g1.png", "0_s_1_g2.png",
+        ]
+        with Image.open(tmp_path / "out" / "demo" / "0_s_0_g2.png") as im:
+            assert im.size == (256, 256)
+        with Image.open(tmp_path / "out" / "demo" / "0_s_0_g0.png") as im:
+            assert im.size == (64, 64)
+
+
 class TestVisualize:
     def test_super_image_grid(self, tmp_path):
         b, h, t, ah = 2, 32, 4, 8

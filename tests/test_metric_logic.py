@@ -184,3 +184,30 @@ class TestReliabilityDiagram:
         # calibrated logits: accuracy tracks confidence in populated bins
         mask = frac > 0.03
         assert np.abs(conf[mask] - acc[mask]).mean() < 0.1
+
+    def test_render_outputs(self, rng, tmp_path):
+        """ASCII table has one row per bin; PNG render writes a real file
+        (notebook cells 13-19 equivalents)."""
+        from tise_tpu.calibration import plots
+
+        n, c = 500, 4
+        raw = rng.randn(n, c) * 2
+        labels = rng.randint(0, c, n)
+        conf, acc, frac = calib.reliability_diagram(raw, labels, n_bins=15)
+        table = plots.ascii_reliability(conf, acc, frac)
+        assert len(table.splitlines()) == 16  # header + 15 bins
+        out = tmp_path / "rel.png"
+        plots.render_reliability_png(str(out), conf, acc, ece=0.1234, title="before calibration")
+        assert out.stat().st_size > 1000
+
+    def test_cli_plot_flag(self, rng, tmp_path):
+        from tise_tpu.calibration import cli
+
+        n, c = 300, 5
+        raw = rng.randn(n, c)
+        labels = rng.randint(0, c, n)
+        npz = tmp_path / "val.npz"
+        np.savez(npz, logits=raw, labels=labels)
+        cli.main(["--validation_npz", str(npz), "--plot_prefix", str(tmp_path / "rd")])
+        assert (tmp_path / "rd_before.png").exists()
+        assert (tmp_path / "rd_after.png").exists()
