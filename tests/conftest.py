@@ -10,7 +10,16 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = _flags + " --xla_force_host_platform_device_count=8"
+    _flags += " --xla_force_host_platform_device_count=8"
+# 8 virtual devices time-share this host's core(s): XLA:CPU's collective
+# rendezvous SIGABRTs the process if participants don't all arrive within
+# 40 s (the round-1 full-suite abort) — stretch the timeouts.
+if "collective_call_terminate_timeout" not in _flags:
+    _flags += (
+        " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+        " --xla_cpu_collective_timeout_seconds=1200"
+    )
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 
@@ -21,28 +30,9 @@ import jax  # noqa: E402
 # to the host's CPU features and loading one compiled elsewhere can SIGILL.
 jax.config.update("jax_platforms", "cpu")
 
+from tise_tpu.core import compile_cache  # noqa: E402
 
-def _machine_key() -> str:
-    import hashlib
-    import platform
-
-    bits = [platform.machine(), platform.processor()]
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith(("model name", "flags")):
-                    bits.append(line.strip())
-                    if len(bits) >= 4:
-                        break
-    except OSError:
-        pass
-    return hashlib.sha256("|".join(bits).encode()).hexdigest()[:12]
-
-
-_cache_dir = f"/tmp/tise_tpu_test_jax_cache_{_machine_key()}"
-os.makedirs(_cache_dir, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+compile_cache.enable()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -159,6 +159,37 @@ class TestPreprocess:
         np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
 
 
+class TestFastPool:
+    @pytest.mark.parametrize("include_pad", [True, False])
+    @pytest.mark.parametrize("shape", [(2, 17, 17, 8), (3, 35, 35, 5), (1, 8, 8, 4)])
+    def test_matches_reduce_window(self, rng, shape, include_pad):
+        """Shifted-add formulation == flax.linen.avg_pool for both the torch
+        (divide-by-9) and TF-SAME (in-bounds divisor) flavors."""
+        import flax.linen as nn
+
+        from tise_tpu.ops.fast_pool import avg_pool_3x3_s1_p1
+
+        x = jnp.asarray(rng.randn(*shape), jnp.float32)
+        ref = nn.avg_pool(x, (3, 3), (1, 1), ((1, 1), (1, 1)), count_include_pad=include_pad)
+        got = avg_pool_3x3_s1_p1(x, count_include_pad=include_pad)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6, atol=1e-6)
+
+    @pytest.mark.parametrize("include_pad", [True, False])
+    def test_pallas_kernel_interpret(self, rng, include_pad):
+        """The (experiment-gated) Pallas stencil matches reduce_window."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from tise_tpu.ops import fast_pool
+
+        import flax.linen as nn
+
+        x = jnp.asarray(rng.randn(3, 9, 9, 16), jnp.float32)
+        ref = nn.avg_pool(x, (3, 3), (1, 1), ((1, 1), (1, 1)), count_include_pad=include_pad)
+        with pltpu.force_tpu_interpret_mode():
+            got = fast_pool._pallas_pool(x, include_pad)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6, atol=1e-6)
+
+
 class TestPallasKernels:
     def test_epilogue_matmul_vs_reference(self, rng):
         from jax.experimental.pallas import tpu as pltpu

@@ -65,9 +65,11 @@ def _avg_pool_3x3_s1_p1(x, count_include_pad=True):
     # torch avg_pool2d(3, stride=1, padding=1) uses count_include_pad=True;
     # TF avg_pool SAME divides by the number of in-bounds taps (exclude-pad) —
     # the slim / 2015-GraphDef flavors need count_include_pad=False.
-    return nn.avg_pool(
-        x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)), count_include_pad=count_include_pad
-    )
+    # Separable shifted-add formulation: lax.reduce_window measured ~2.2 ms at
+    # [256,17,17,768] bf16 on v5e vs ~0.3 ms memory-bound (ops/fast_pool.py).
+    from tise_tpu.ops.fast_pool import avg_pool_3x3_s1_p1
+
+    return avg_pool_3x3_s1_p1(x, count_include_pad=count_include_pad)
 
 
 class InceptionA(nn.Module):

@@ -39,6 +39,33 @@ def timeit(name, fn, *args, iters=ITERS):
     return dt
 
 
+REPS = 20
+
+
+def timeit_injit(name, fn, *args, reps=REPS, iters=4):
+    """Device-side repetition: runs ``fn(seed_u8, *args)`` ``reps`` times
+    inside ONE jitted fori_loop (seed varies per rep -> no CSE; a scalar
+    accumulator consumes every output -> no DCE).  Removes the per-dispatch
+    tunnel overhead that floors the plain ``timeit`` at ~2 ms/op."""
+
+    def chain(seed0, *a):
+        def body(i, acc):
+            y = fn(seed0 + i.astype(jnp.uint8), *a)
+            return acc + jnp.sum(y.astype(jnp.float32))
+
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+
+    f = jax.jit(chain)
+    seeds = [jnp.uint8(101 + 7 * i) for i in range(iters + 1)]
+    float(f(seeds[0], *args))  # compile + warm
+    t0 = time.perf_counter()
+    outs = [f(s, *args) for s in seeds[1:]]
+    float(outs[-1])
+    dt = (time.perf_counter() - t0) / (iters * reps) * 1e3
+    print(f"{name:55s} {dt:8.3f} ms   (in-jit x{reps})")
+    return dt
+
+
 B = 256
 DT = jnp.bfloat16
 
@@ -234,7 +261,227 @@ def exp_clip():
     timeit("attention core (qk+softmax+av+transposes)", attn_core, x)
 
 
-ALL = {"sections": exp_sections, "conv1a": exp_conv1a, "incc": exp_incc, "clip": exp_clip}
+# ---------------------------------------------------------------------------
+def exp_incc2():
+    """InceptionC pieces with in-jit repetition (true per-op cost)."""
+    import flax.linen as nn
+
+    from tise_tpu.backbones.inception_v3 import InceptionC
+
+    x = bf16((B, 17, 17, 768))
+    xor_f = lambda x, s: (x.view(jnp.uint16) ^ s.astype(jnp.uint16)).view(DT)  # noqa: E731
+
+    block = InceptionC(160, dtype=DT)
+    p = block.init(jax.random.PRNGKey(0), x)
+    timeit_injit("InceptionC(160) full block XLA", lambda s, p, x: block.apply(p, xor_f(x, s)), p, x, reps=5)
+
+    xs = bf16((B, 17, 17, 160), 2)
+    k1 = bf16((1, 1, 768, 192), 3)
+    k17 = bf16((1, 7, 160, 160), 4)
+    k71 = bf16((7, 1, 160, 192), 5)
+
+    def conv(pad, s, x, k):
+        return jax.lax.conv_general_dilated(
+            xor_f(x, s), k, (1, 1), pad, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        ).astype(DT)
+
+    timeit_injit("1x1 768->192 @17x17", partial(conv, "VALID"), x, k1)
+    timeit_injit("1x7 160->160 @17x17", partial(conv, ((0, 0), (3, 3))), xs, k17)
+    timeit_injit("7x1 160->192 @17x17", partial(conv, ((3, 3), (0, 0))), xs, k71)
+    timeit_injit(
+        "avgpool 3x3 s1 p1 @17x17x768",
+        lambda s, x: nn.avg_pool(xor_f(x, s), (3, 3), (1, 1), ((1, 1), (1, 1)), count_include_pad=True),
+        x,
+    )
+
+    # flattened-spatial im2col: [B*17, 17, C] rows, shifts on the W axis
+    k17m = bf16((7 * 160, 160), 4)
+
+    def im2col_1x7(s, x, km):
+        xx = xor_f(x, s)
+        xp = jnp.pad(xx, ((0, 0), (0, 0), (3, 3), (0, 0)))
+        pat = jnp.concatenate([xp[:, :, d : d + 17] for d in range(7)], -1)
+        return jnp.einsum("bhwk,ko->bhwo", pat, km, preferred_element_type=jnp.float32).astype(DT)
+
+    timeit_injit("1x7 im2col dot [M,1120]x[1120,160]", im2col_1x7, xs, k17m)
+
+
+# ---------------------------------------------------------------------------
+def exp_inca():
+    """InceptionA pieces (35x35 grid, Mixed_5b..5d)."""
+    from tise_tpu.backbones.inception_v3 import InceptionA, InceptionB
+
+    x = bf16((B, 35, 35, 288))
+    xor_f = lambda x, s: (x.view(jnp.uint16) ^ s.astype(jnp.uint16)).view(DT)  # noqa: E731
+    block = InceptionA(64, dtype=DT)
+    p = block.init(jax.random.PRNGKey(0), x)
+    timeit_injit("InceptionA(288->) full block XLA", lambda s, p, x: block.apply(p, xor_f(x, s)), p, x, reps=5)
+
+    bb = InceptionB(dtype=DT)
+    pb = bb.init(jax.random.PRNGKey(0), x)
+    timeit_injit("InceptionB full block XLA", lambda s, p, x: bb.apply(p, xor_f(x, s)), pb, x, reps=5)
+
+    xs = bf16((B, 35, 35, 64), 2)
+    k5 = bf16((5, 5, 64, 64), 3)
+    k3 = bf16((3, 3, 64, 96), 4)
+
+    def conv(pad, s, x, k):
+        return jax.lax.conv_general_dilated(
+            xor_f(x, s), k, (1, 1), pad, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        ).astype(DT)
+
+    timeit_injit("5x5 64->64 @35x35", partial(conv, ((2, 2), (2, 2))), xs, k5)
+    timeit_injit("3x3 64->96 @35x35", partial(conv, ((1, 1), (1, 1))), xs, k3)
+
+
+# ---------------------------------------------------------------------------
+def exp_clip2():
+    """CLIP pieces with in-jit repetition."""
+    import flax.linen as nn
+
+    from tise_tpu.backbones import clip_vit
+
+    x = bf16((B, 50, 768))
+    xor_f = lambda x, s: (x.view(jnp.uint16) ^ s.astype(jnp.uint16)).view(DT)  # noqa: E731
+
+    blk = clip_vit.ResidualBlock(768, 12, dtype=DT)
+    bp = blk.init(jax.random.PRNGKey(0), x)
+    timeit_injit("CLIP ResidualBlock t=50", lambda s, p, x: blk.apply(p, xor_f(x, s)), bp, x, reps=10)
+
+    w = bf16((768, 2304), 1)
+    timeit_injit(
+        "qkv matmul [12800,768]x[768,2304]",
+        lambda s, x, w: jnp.einsum("btd,do->bto", xor_f(x, s), w, preferred_element_type=jnp.float32).astype(DT),
+        x, w,
+    )
+
+    ln = nn.LayerNorm(epsilon=1e-5, dtype=DT)
+    lnp = {"params": {"scale": jnp.ones(768), "bias": jnp.zeros(768)}}
+    timeit_injit("LayerNorm [256,50,768]", lambda s, x: ln.apply(lnp, xor_f(x, s)), x)
+
+    def attn_core(s, x):
+        xx = xor_f(x, s)
+        q = xx.reshape(B, 50, 12, 64).transpose(0, 2, 1, 3)
+        a = jnp.einsum("bhqd,bhkd->bhqk", q * 0.125, q, preferred_element_type=jnp.float32)
+        a = jax.nn.softmax(a, -1).astype(DT)
+        o = jnp.einsum("bhqk,bhkd->bhqd", a, q)
+        return o.transpose(0, 2, 1, 3).reshape(B, 50, 768)
+
+    timeit_injit("attention core (qk+softmax+av+transposes)", attn_core, x)
+
+    w1 = bf16((768, 3072), 2)
+    w2 = bf16((3072, 768), 3)
+
+    def mlp(s, x, w1, w2):
+        y = jnp.einsum("btd,do->bto", xor_f(x, s), w1, preferred_element_type=jnp.float32).astype(DT)
+        y = y * jax.nn.sigmoid(1.702 * y)
+        return jnp.einsum("bto,od->btd", y, w2, preferred_element_type=jnp.float32).astype(DT)
+
+    timeit_injit("MLP fc+gelu+proj [12800,768]<->3072", mlp, x, w1, w2)
+
+
+# ---------------------------------------------------------------------------
+def exp_stem2():
+    """Stem pieces with in-jit repetition."""
+    from tise_tpu.ops.preprocess import normalize
+
+    img = u8((B, 299, 299, 3))
+    k1 = bf16((3, 3, 3, 32), 1)
+    k2 = bf16((3, 3, 32, 32), 2)
+    k3 = bf16((3, 3, 32, 64), 3)
+
+    def conv1a(s, x, k):
+        xx = normalize(jnp.bitwise_xor(x, s), "fid", DT)
+        return jax.lax.conv_general_dilated(
+            xx, k, (2, 2), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        ).astype(DT)
+
+    timeit_injit("conv1a 3x3/2 u8->32 @299", conv1a, img, k1, reps=10)
+
+    x149 = bf16((B, 149, 149, 32), 4)
+    xor_f = lambda x, s: (x.view(jnp.uint16) ^ s.astype(jnp.uint16)).view(DT)  # noqa: E731
+
+    def conv(pad, stride, s, x, k):
+        return jax.lax.conv_general_dilated(
+            xor_f(x, s), k, stride, pad, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        ).astype(DT)
+
+    timeit_injit("conv2a 3x3 32->32 @147", partial(conv, "VALID", (1, 1)), x149, k2, reps=10)
+    x147 = bf16((B, 147, 147, 32), 5)
+    timeit_injit("conv2b 3x3 32->64 @147 SAME", partial(conv, ((1, 1), (1, 1)), (1, 1)), x147, k3, reps=10)
+
+
+
+
+# ---------------------------------------------------------------------------
+def exp_fix1():
+    """Hypothesis tests: 2D-flattened matmuls, single-pass LN, shifted-add avgpool."""
+    import flax.linen as nn
+
+    xor_f = lambda x, s: (x.view(jnp.uint16) ^ s.astype(jnp.uint16)).view(DT)  # noqa: E731
+    x = bf16((B, 50, 768))
+    w = bf16((768, 2304), 1)
+
+    def qkv2d(s, x, w):
+        xx = xor_f(x, s).reshape(B * 50, 768)
+        return jnp.dot(xx, w, preferred_element_type=jnp.float32).astype(DT).reshape(B, 50, 2304)
+
+    timeit_injit("qkv 2D-reshape dot", qkv2d, x, w)
+
+    def ln1pass(s, x):
+        xx = xor_f(x, s).astype(jnp.float32)
+        m = jnp.mean(xx, -1, keepdims=True)
+        v = jnp.mean(xx * xx, -1, keepdims=True) - m * m
+        return ((xx - m) * jax.lax.rsqrt(v + 1e-5)).astype(DT)
+
+    timeit_injit("LN single-pass f32", ln1pass, x)
+
+    xc = bf16((B, 17, 17, 768))
+
+    def avg_shift(s, x):
+        xx = xor_f(x, s).astype(jnp.float32)
+        xp = jnp.pad(xx, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        h = xp[:, :, :-2] + xp[:, :, 1:-1] + xp[:, :, 2:]
+        v = h[:, :-2] + h[:, 1:-1] + h[:, 2:]
+        return (v * (1.0 / 9.0)).astype(DT)
+
+    timeit_injit("avgpool shifted-add @17x17x768", avg_shift, xc)
+    timeit_injit(
+        "avgpool reduce_window @17x17x768 (ref)",
+        lambda s, x: nn.avg_pool(xor_f(x, s), (3, 3), (1, 1), ((1, 1), (1, 1)), count_include_pad=True),
+        xc,
+    )
+
+    xa = bf16((B, 35, 35, 288), 7)
+    timeit_injit("avgpool shifted-add @35x35x288", avg_shift, xa)
+    timeit_injit(
+        "avgpool reduce_window @35x35x288 (ref)",
+        lambda s, x: nn.avg_pool(xor_f(x, s), (3, 3), (1, 1), ((1, 1), (1, 1)), count_include_pad=True),
+        xa,
+    )
+
+    # attention core without transposes: keep [B, T, H, D], batch dims (b, h)
+    def attn_nt(s, x):
+        xx = xor_f(x, s)
+        q = xx.reshape(B, 50, 12, 64)
+        a = jnp.einsum("bqhd,bkhd->bhqk", q * 0.125, q, preferred_element_type=jnp.float32)
+        a = jax.nn.softmax(a, -1).astype(DT)
+        o = jnp.einsum("bhqk,bkhd->bqhd", a, q)
+        return o.reshape(B, 50, 768)
+
+    timeit_injit("attention core no-transpose layout", attn_nt, x)
+
+
+
+ALL = {
+    "sections": exp_sections, "conv1a": exp_conv1a, "incc": exp_incc, "clip": exp_clip,
+    "incc2": exp_incc2, "inca": exp_inca, "clip2": exp_clip2, "stem2": exp_stem2,
+    "fix1": exp_fix1, "fix2": exp_fix2,
+}
 
 if __name__ == "__main__":
     names = sys.argv[1:] or list(ALL)
@@ -242,3 +489,58 @@ if __name__ == "__main__":
     for n in names:
         print(f"--- {n} ---")
         ALL[n]()
+
+
+# ---------------------------------------------------------------------------
+def exp_fix2():
+    """XLA-level matmul reformulations of the InceptionC convs."""
+    xor_f = lambda x, s: (x.view(jnp.uint16) ^ s.astype(jnp.uint16)).view(DT)  # noqa: E731
+    x = bf16((B, 17, 17, 768))
+    xs = bf16((B, 17, 17, 160), 2)
+
+    w1 = bf16((768, 192), 3)
+
+    def c1x1_dot(s, x, w):
+        xx = xor_f(x, s).reshape(B * 17 * 17, 768)
+        return jnp.dot(xx, w, preferred_element_type=jnp.float32).astype(DT)
+
+    timeit_injit("1x1 768->192 as 2D dot", c1x1_dot, x, w1)
+
+    w7 = bf16((7, 160, 160), 4)
+
+    def c1x7_shift(s, x, w):
+        xx = xor_f(x, s)
+        xp = jnp.pad(xx, ((0, 0), (0, 0), (3, 3), (0, 0)))
+        acc = jnp.zeros((B, 17, 17, 160), jnp.float32)
+        for d in range(7):
+            acc = acc + jnp.einsum(
+                "bhwc,co->bhwo", xp[:, :, d : d + 17], w[d], preferred_element_type=jnp.float32
+            )
+        return acc.astype(DT)
+
+    timeit_injit("1x7 as 7 shifted dots", c1x7_shift, xs, w7)
+
+    def c7x1_shift(s, x, w):
+        xx = xor_f(x, s)
+        xp = jnp.pad(xx, ((0, 0), (3, 3), (0, 0), (0, 0)))
+        acc = jnp.zeros((B, 17, 17, 160), jnp.float32)
+        for d in range(7):
+            acc = acc + jnp.einsum(
+                "bhwc,co->bhwo", xp[:, d : d + 17], w[d], preferred_element_type=jnp.float32
+            )
+        return acc.astype(DT)
+
+    timeit_injit("7x1 as 7 shifted dots", c7x1_shift, xs, w7)
+
+    # 1x7 via one big dot on a rolled-stack: [M, 7*160] x [1120, 160]
+    w7m = bf16((1120, 160), 5)
+
+    def c1x7_stack(s, x, w):
+        xx = xor_f(x, s)
+        xp = jnp.pad(xx, ((0, 0), (0, 0), (3, 3), (0, 0)))
+        pat = jnp.concatenate([xp[:, :, d : d + 17] for d in range(7)], axis=-1)
+        return jnp.dot(
+            pat.reshape(B * 17 * 17, 1120), w, preferred_element_type=jnp.float32
+        ).astype(DT)
+
+    timeit_injit("1x7 as concat+1 dot [M,1120]", c1x7_stack, xs, w7m)
