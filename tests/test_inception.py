@@ -94,3 +94,56 @@ class TestShardedExtraction:
         batches = [Batch(images=imgs, mask=mask, paths=[str(i) for i in range(5)])]
         out = ex.run(batches, keys=("pool3",))["pool3"]
         assert out.shape == (5, 2048)
+
+
+class TestTorchFullForwardParity:
+    """VERDICT item: full-forward equivalence vs an independent torch
+    transcription of torchvision's inception_v3 (tests/torch_inception_ref.py)
+    through the real converter — validates conv/BN/pool/fc numerics AND the
+    state_dict key mapping end to end."""
+
+    def test_all_endpoints_match_torch(self, rng):
+        torch = pytest.importorskip("torch")
+        from tests.torch_inception_ref import random_torch_inception
+
+        tmodel = random_torch_inception(num_classes=10, seed=3)
+        sd = tmodel.state_dict()
+        params = inception_v3.params_from_torch_state_dict(sd, num_classes=10)
+        jmodel = inception_v3.InceptionV3(num_classes=10)
+
+        x = rng.randn(2, 299, 299, 3).astype(np.float32) * 0.5
+        with torch.no_grad():
+            tout = tmodel(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+        jout = jax.jit(
+            lambda p, v: jmodel.apply(p, v, endpoints=tuple(inception_v3.ENDPOINTS))
+        )(params, jnp.asarray(x))
+
+        for name in inception_v3.ENDPOINTS:
+            t = tout[name].numpy()
+            if t.ndim == 4:
+                t = np.transpose(t, (0, 2, 3, 1))
+            j = np.asarray(jout[name], np.float32)
+            scale = max(np.abs(t).max(), 1e-3)
+            np.testing.assert_allclose(
+                j, t, rtol=1e-4, atol=1e-4 * scale,
+                err_msg=f"endpoint {name} diverges from torch",
+            )
+
+
+class TestFastInceptionParity:
+    """bf16 throughput path (inception_fast.FastInception: BN folding +
+    combined 1x1 fan-out) matches the flax module to bf16 tolerance."""
+
+    def test_fast_forward_matches_flax(self, model, small_params, rng):
+        from tise_tpu.backbones.inception_fast import FastInception
+
+        x = jnp.asarray(rng.randn(2, 299, 299, 3).astype(np.float32) * 0.5, jnp.bfloat16)
+        bf_model = inception_v3.InceptionV3(num_classes=10, dtype=jnp.bfloat16)
+        ref = bf_model.apply(small_params, x, endpoints=("pool3", "logits"))
+        fast = FastInception(small_params, jnp.bfloat16)
+        got = jax.jit(lambda v: fast(v, endpoints=("pool3", "logits")))(x)
+        for k in ("pool3", "logits"):
+            r = np.asarray(ref[k], np.float32)
+            g = np.asarray(got[k], np.float32)
+            scale = max(np.abs(r).max(), 1e-6)
+            assert np.abs(r - g).max() / scale < 0.04, f"{k}: {np.abs(r - g).max()} vs scale {scale}"

@@ -477,20 +477,6 @@ def exp_fix1():
 
 
 
-ALL = {
-    "sections": exp_sections, "conv1a": exp_conv1a, "incc": exp_incc, "clip": exp_clip,
-    "incc2": exp_incc2, "inca": exp_inca, "clip2": exp_clip2, "stem2": exp_stem2,
-    "fix1": exp_fix1, "fix2": exp_fix2,
-}
-
-if __name__ == "__main__":
-    names = sys.argv[1:] or list(ALL)
-    print(f"backend={jax.default_backend()} devices={len(jax.devices())}")
-    for n in names:
-        print(f"--- {n} ---")
-        ALL[n]()
-
-
 # ---------------------------------------------------------------------------
 def exp_fix2():
     """XLA-level matmul reformulations of the InceptionC convs."""
@@ -544,3 +530,18 @@ def exp_fix2():
         ).astype(DT)
 
     timeit_injit("1x7 as concat+1 dot [M,1120]", c1x7_stack, xs, w7m)
+
+ALL = {
+    "sections": exp_sections, "conv1a": exp_conv1a, "incc": exp_incc, "clip": exp_clip,
+    "incc2": exp_incc2, "inca": exp_inca, "clip2": exp_clip2, "stem2": exp_stem2,
+    "fix1": exp_fix1, "fix2": exp_fix2,
+}
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or list(ALL)
+    print(f"backend={jax.default_backend()} devices={len(jax.devices())}")
+    for n in names:
+        print(f"--- {n} ---")
+        ALL[n]()
+
+
