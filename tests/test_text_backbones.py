@@ -197,3 +197,20 @@ class TestCLIPFullForwardParity:
         )
         scale = max(np.abs(t_txt).max(), 1e-3)
         np.testing.assert_allclose(j_txt, t_txt, rtol=1e-4, atol=1e-4 * scale)
+
+
+class TestFastCLIPParity:
+    """bf16 throughput path (clip_fast.FastCLIPVisual: flat rows, 1-pass LN,
+    patchify-as-matmul) matches the flax tower."""
+
+    def test_fast_visual_matches_flax(self, rng):
+        from tise_tpu.backbones import clip_fast
+
+        model = clip_vit.CLIP()
+        params = clip_vit.random_params(jax.random.PRNGKey(2))
+        fast = clip_fast.FastCLIPVisual(params, dtype=jnp.float32)
+        x = jnp.asarray(rng.randn(2, 224, 224, 3).astype(np.float32) * 0.5)
+        ref = np.asarray(model.apply(params, x, method=model.encode_image), np.float32)
+        got = np.asarray(jax.jit(fast)(x), np.float32)
+        scale = max(np.abs(ref).max(), 1e-6)
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5 * scale)

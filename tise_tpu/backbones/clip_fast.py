@@ -1,0 +1,120 @@
+"""Throughput-path CLIP ViT-B/32 image tower: pure JAX over the flax tree.
+
+The flax module (backbones/clip_vit.py) stays the reference implementation;
+this is the bf16 extraction fast path with the XLA-level restructurings that
+measured faster on v5e (batch 256, in-jit microbenchmarks):
+
+  * dense ops on an explicitly flattened [B*T, D] — XLA tiles the 3-D
+    [B, 50, D] form as separate free dims and pads T=50 per tile
+    (qkv 0.73 -> 0.61 ms),
+  * single-pass LayerNorm (mean / E[x^2] in one sweep, 0.50 -> 0.41 ms),
+  * attention in [B, T, H, d] layout without explicit head transposes,
+  * patchify as reshape + one matmul instead of a stride-32 conv.
+
+Parity vs the flax module is tested to bf16 tolerance
+(tests/test_text_backbones.py); the flax tower itself is torch-parity
+tested against torch.nn.MultiheadAttention (tests/torch_clip_ref.py).
+Reference: text_relevance/RP_coco.py:31 / positional_alignment/PA.py:30
+(clip.load("ViT-B/32")).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+LN_EPS = 1e-5
+
+
+def _ln(xf: jax.Array, scale, bias, dtype):
+    """Single-pass LayerNorm over the last axis of [M, D] (f32 math)."""
+    x = xf.astype(jnp.float32)
+    m = jnp.mean(x, axis=-1, keepdims=True)
+    v = jnp.mean(x * x, axis=-1, keepdims=True) - m * m
+    y = (x - m) * jax.lax.rsqrt(v + LN_EPS)
+    return (y * scale + bias).astype(dtype)
+
+
+class FastCLIPVisual:
+    """Pre-cast bf16 image-tower forward. ``params`` is the flax CLIP tree
+    (clip_vit.CLIP / params_from_openai_state_dict layout)."""
+
+    def __init__(self, params: Dict[str, Any], dtype=jnp.bfloat16, layers: int = 12,
+                 heads: int = 12, patch: int = 32):
+        p = params["params"]["visual"] if "params" in params else params["visual"]
+        d = dtype
+        self.dtype = d
+        self.heads = heads
+        self.patch = patch
+        k = jnp.asarray(p["conv1"]["kernel"], jnp.float32)  # [32,32,3,768]
+        self.width = k.shape[-1]
+        # patchify-as-matmul: rows are the conv's im2col patches [p*p*3]
+        self.wpatch = k.reshape(-1, self.width).astype(d)
+        self.cls = jnp.asarray(p["class_embedding"], jnp.float32)
+        self.pos = jnp.asarray(p["positional_embedding"], jnp.float32)
+        self.ln_pre = (jnp.asarray(p["ln_pre"]["scale"], jnp.float32),
+                       jnp.asarray(p["ln_pre"]["bias"], jnp.float32))
+        self.ln_post = (jnp.asarray(p["ln_post"]["scale"], jnp.float32),
+                        jnp.asarray(p["ln_post"]["bias"], jnp.float32))
+        self.proj = jnp.asarray(p["proj"], jnp.float32).astype(d)
+        self.blocks = []
+        for i in range(layers):
+            b = p["transformer"][f"resblocks_{i}"]
+            self.blocks.append(dict(
+                ln1=(jnp.asarray(b["ln_1"]["scale"], jnp.float32),
+                     jnp.asarray(b["ln_1"]["bias"], jnp.float32)),
+                ln2=(jnp.asarray(b["ln_2"]["scale"], jnp.float32),
+                     jnp.asarray(b["ln_2"]["bias"], jnp.float32)),
+                wqkv=jnp.asarray(b["attn"]["in_proj"]["kernel"], jnp.float32).astype(d),
+                bqkv=jnp.asarray(b["attn"]["in_proj"]["bias"], jnp.float32),
+                wo=jnp.asarray(b["attn"]["out_proj"]["kernel"], jnp.float32).astype(d),
+                bo=jnp.asarray(b["attn"]["out_proj"]["bias"], jnp.float32),
+                w1=jnp.asarray(b["mlp_c_fc"]["kernel"], jnp.float32).astype(d),
+                b1=jnp.asarray(b["mlp_c_fc"]["bias"], jnp.float32),
+                w2=jnp.asarray(b["mlp_c_proj"]["kernel"], jnp.float32).astype(d),
+                b2=jnp.asarray(b["mlp_c_proj"]["bias"], jnp.float32),
+            ))
+
+    def _block(self, xf: jax.Array, blk, b: int, t: int) -> jax.Array:
+        d = self.dtype
+        dm = self.width
+        h = self.heads
+        hd = dm // h
+        y = _ln(xf, *blk["ln1"], d)
+        qkv = (jnp.dot(y, blk["wqkv"], preferred_element_type=jnp.float32)
+               + blk["bqkv"]).astype(d)
+        qkv = qkv.reshape(b, t, 3, h, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        s = jnp.einsum("bqhd,bkhd->bhqk", q * (hd ** -0.5), k, preferred_element_type=jnp.float32)
+        a = jax.nn.softmax(s, axis=-1).astype(d)
+        o = jnp.einsum("bhqk,bkhd->bqhd", a, v, preferred_element_type=jnp.float32).astype(d)
+        o = o.reshape(b * t, dm)
+        xf = xf + (jnp.dot(o, blk["wo"], preferred_element_type=jnp.float32) + blk["bo"]).astype(d)
+        y = _ln(xf, *blk["ln2"], d)
+        y = (jnp.dot(y, blk["w1"], preferred_element_type=jnp.float32) + blk["b1"]).astype(d)
+        y = y * jax.nn.sigmoid(jnp.float32(1.702) * y.astype(jnp.float32)).astype(d)
+        xf = xf + (jnp.dot(y, blk["w2"], preferred_element_type=jnp.float32) + blk["b2"]).astype(d)
+        return xf
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        """normalized image NHWC [B, 224, 224, 3] -> [B, 512] (bf16)."""
+        d = self.dtype
+        b, hh, ww, c = x.shape
+        p = self.patch
+        g = hh // p
+        # patchify: [B, g, p, g, p, 3] -> [B, g, g, p, p, 3] -> rows
+        patches = x.astype(d).reshape(b, g, p, g, p, c).transpose(0, 1, 3, 2, 4, 5)
+        patches = patches.reshape(b * g * g, p * p * c)
+        tok = jnp.dot(patches, self.wpatch, preferred_element_type=jnp.float32)
+        tok = tok.reshape(b, g * g, self.width)
+        cls = jnp.broadcast_to(self.cls, (b, 1, self.width))
+        xt = jnp.concatenate([cls, tok.astype(jnp.float32)], axis=1) + self.pos
+        t = g * g + 1
+        xf = _ln(xt.reshape(b * t, self.width), *self.ln_pre, d)
+        for blk in self.blocks:
+            xf = self._block(xf, blk, b, t)
+        cls_tok = xf.reshape(b, t, self.width)[:, 0]
+        out = _ln(cls_tok, *self.ln_post, d)
+        return jnp.dot(out, self.proj, preferred_element_type=jnp.float32).astype(d)

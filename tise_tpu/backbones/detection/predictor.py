@@ -8,23 +8,28 @@ the caffe-style R50).  Static shapes: every image is resized to exactly
 ratio is preserved; boxes are rescaled back to original coordinates like
 detectron2's postprocessing.
 
-The per-image forward is vmapped and jitted once; a host thread pool decodes
-and resizes ahead of the device.
+The per-image forward is vmapped and jitted once with its batch axis sharded
+over the mesh's ``data`` axis (the SOA sweep — 80 labels x ~30k images — is
+the reference's longest pipeline and scales linearly over chips); a host
+thread pool decodes and resizes ahead of the device.
 """
 
 from __future__ import annotations
 
+import math
 from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from PIL import Image
 
 from tise_tpu.backbones.detection.coco_classes import COCO_CLASSES
 from tise_tpu.backbones.detection.rcnn import FasterRCNN
 from tise_tpu.backbones.detection.weights import load_detectron2_pkl
+from tise_tpu.core.mesh import make_mesh
 
 INPUT_SIZE = 800
 PIXEL_MEAN_BGR = np.array([103.530, 116.280, 123.675], np.float32)
@@ -44,8 +49,22 @@ class TPUDetector:
     """Batched static-shape Mask R-CNN inference engine."""
 
     def __init__(
-        self, weights_path: Optional[str], batch_size: int = 4, dtype=jnp.float32, input_size: int = INPUT_SIZE
+        self,
+        weights_path: Optional[str],
+        batch_size: int = 4,
+        dtype=jnp.float32,
+        input_size: int = INPUT_SIZE,
+        mesh: Optional[Mesh] = None,
     ):
+        base = mesh if mesh is not None else make_mesh()
+        data_axis = base.axis_names[0]
+        dp = base.shape[data_axis]
+        if batch_size % dp:
+            # the jitted batch must divide evenly over the data axis: shrink to
+            # a sub-mesh rather than silently inflating the caller's batch
+            dp = math.gcd(batch_size, dp)
+            base = Mesh(np.asarray(base.devices).reshape(-1)[:dp].reshape(dp, 1), base.axis_names)
+        self.mesh = base
         self.batch_size = batch_size
         self.input_size = input_size
         model = FasterRCNN(dtype=dtype)
@@ -58,12 +77,21 @@ class TPUDetector:
             x = img_u8_bgr.astype(dtype) - jnp.asarray(PIXEL_MEAN_BGR, dtype)
             return model.apply(p, x)
 
-        self._fwd = jax.jit(jax.vmap(single, in_axes=(None, 0)))
+        self._batch_sharding = NamedSharding(self.mesh, P(data_axis, None, None, None))
+        self._fwd = jax.jit(
+            jax.vmap(single, in_axes=(None, 0)),
+            in_shardings=(NamedSharding(self.mesh, P()), self._batch_sharding),
+            out_shardings=NamedSharding(self.mesh, P(data_axis)),
+        )
         self.params = params
 
     def detect_batch(self, images_u8_bgr: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-        """[B, 800, 800, 3] BGR uint8 -> (boxes, scores, classes, valid)."""
-        det = self._fwd(self.params, images_u8_bgr)
+        """[B, 800, 800, 3] BGR uint8 -> (boxes, scores, classes, valid).
+
+        B must equal ``self.batch_size`` (a multiple of the mesh's data axis);
+        ``detect_files`` pads the tail chunk up to it.
+        """
+        det = self._fwd(self.params, jax.device_put(images_u8_bgr, self._batch_sharding))
         return (
             np.asarray(det.boxes),
             np.asarray(det.scores),
