@@ -51,11 +51,13 @@ def detector_images_per_sec(on_tpu: bool) -> float | None:
         from tise_tpu.backbones.detection.rcnn import FasterRCNN
 
         size = 800 if on_tpu else 128
-        batch = 8 if on_tpu else 2
+        batch = 4 if on_tpu else 2
         iters = 10 if on_tpu else 1
-        _mark("detector: init")
+        _mark("detector: init (jitted)")
         model = FasterRCNN(dtype=jnp.float32)
-        params = model.init(jax.random.PRNGKey(0), jnp.zeros((size, size, 3), jnp.float32))
+        params = jax.jit(lambda r: model.init(r, jnp.zeros((size, size, 3), jnp.float32)))(
+            jax.random.PRNGKey(0)
+        )
 
         @jax.jit
         def fwd(p, imgs_u8, seed):
@@ -89,17 +91,28 @@ def main() -> None:
     iters = 30 if on_tpu else 2
 
     _mark(f"backend={jax.default_backend()} batch={batch}")
+    from tise_tpu.core import compile_cache
+
+    compile_cache.enable()  # persistent across bench runs
     inception = inception_v3.InceptionV3(num_classes=1000, dtype=dtype)
 
     rng = jax.random.PRNGKey(0)
-    _mark("init inception params")
-    inc_params = inception.init(rng, jnp.zeros((1, 299, 299, 3), dtype), endpoints=("logits",))
-    clip_params = clip_vit.random_params(rng, dtype=dtype)
+    # jit the init + weight-prep: eager per-op dispatch through the axon
+    # tunnel (~28 ms RTT) turns these into minutes; compiled it's seconds
+    _mark("init params (jitted)")
+    inc_params = jax.jit(
+        lambda r: inception.init(r, jnp.zeros((1, 299, 299, 3), dtype), endpoints=("logits",))
+    )(rng)
+    clip_params = jax.jit(lambda r: clip_vit.random_params(r, dtype=dtype))(rng)
     # bf16 throughput forwards (parity-tested vs the flax modules):
     # BN-folded combined-1x1 inception + flat-rows/1-pass-LN CLIP tower
-    _mark("building fast forwards")
-    fast_inc = inception_fast.FastInception(inc_params, dtype)
-    fast_clip = clip_fast.FastCLIPVisual(clip_params, dtype)
+    _mark("folding fast-forward weights (jitted)")
+    fast_inc = inception_fast.FastInception(
+        dtype=dtype, folded=jax.jit(lambda p: inception_fast.fold_tree(p, dtype))(inc_params)
+    )
+    fast_clip = clip_fast.FastCLIPVisual(
+        dtype=dtype, folded=jax.jit(lambda p: clip_fast.fold_tree(p, dtype))(clip_params)
+    )
 
     @jax.jit
     def extract(img299_u8, img224_u8, seed):

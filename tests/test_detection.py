@@ -178,3 +178,82 @@ class TestShardedDetector:
         det = TPUDetector(None, batch_size=3, input_size=64)
         assert det.batch_size == 3
         assert det.mesh.shape[det.mesh.axis_names[0]] == 1
+
+
+class TestPostprocessParity:
+    """Static-shape ROI postprocess vs a sequential dynamic-shape reference
+    implementing detectron2's fast_rcnn_inference_single_image semantics
+    (softmax-minus-bg, per-class decode/clip, score>0.5, per-class greedy
+    NMS 0.5, top-100 by score)."""
+
+    def _reference(self, proposals, cls_logits, box_deltas, h, w, thresh=0.5):
+        from scipy.special import softmax
+
+        k = proposals.shape[0]
+        probs = softmax(cls_logits, axis=-1)[:, :80]
+        weights = np.array([10.0, 10.0, 5.0, 5.0])
+        cand = []  # (score, cls, box)
+        for i in range(k):
+            for c in range(80):
+                s = probs[i, c]
+                if s <= thresh:
+                    continue
+                dx, dy, dw, dh = box_deltas[i, 4 * c : 4 * c + 4] / weights
+                x1, y1, x2, y2 = proposals[i]
+                bw, bh = x2 - x1, y2 - y1
+                cx, cy = x1 + 0.5 * bw, y1 + 0.5 * bh
+                ncx, ncy = cx + dx * bw, cy + dy * bh
+                nw, nh = np.exp(dw) * bw, np.exp(dh) * bh
+                box = np.array([ncx - 0.5 * nw, ncy - 0.5 * nh, ncx + 0.5 * nw, ncy + 0.5 * nh])
+                box = np.clip(box, [0, 0, 0, 0], [w, h, w, h])
+                cand.append((float(s), c, box))
+        cand.sort(key=lambda t: -t[0])
+        kept = []
+        for s, c, b in cand:  # greedy per-class NMS
+            ok = True
+            for s2, c2, b2 in kept:
+                if c2 != c:
+                    continue
+                ix1, iy1 = max(b[0], b2[0]), max(b[1], b2[1])
+                ix2, iy2 = min(b[2], b2[2]), min(b[3], b2[3])
+                inter = max(ix2 - ix1, 0) * max(iy2 - iy1, 0)
+                union = (b[2] - b[0]) * (b[3] - b[1]) + (b2[2] - b2[0]) * (b2[3] - b2[1]) - inter
+                if union > 0 and inter / union > 0.5:
+                    ok = False
+                    break
+            if ok:
+                kept.append((s, c, b))
+        return kept[:100]
+
+    def test_matches_sequential_reference(self):
+        from tise_tpu.backbones.detection.rcnn import postprocess_detections
+
+        rng = np.random.RandomState(7)
+        k, h, w = 40, 256, 256
+        # proposals: random boxes with some clusters so NMS has real work
+        centers = rng.uniform(40, 216, (k, 2))
+        centers[20:] = centers[:20] + rng.uniform(-6, 6, (20, 2))  # near-duplicates
+        sizes = rng.uniform(20, 80, (k, 2))
+        proposals = np.concatenate([centers - sizes / 2, centers + sizes / 2], 1).astype(np.float32)
+        # logits: most background, some confident classes (few > 0.5 post-softmax)
+        cls_logits = rng.randn(k, 81).astype(np.float32)
+        cls_logits[:, 80] += 2.0
+        hot = rng.randint(0, 80, k)
+        cls_logits[np.arange(k), hot] += rng.uniform(0, 7, k).astype(np.float32)
+        box_deltas = (rng.randn(k, 320) * 0.5).astype(np.float32)
+
+        det = jax.jit(postprocess_detections, static_argnums=(4, 5))(
+            jnp.asarray(proposals), jnp.ones((k,), bool), jnp.asarray(cls_logits),
+            jnp.asarray(box_deltas), h, w,
+        )
+        got = [
+            (float(det.scores[i]), int(det.classes[i]), np.asarray(det.boxes[i]))
+            for i in range(det.valid.shape[0]) if bool(det.valid[i])
+        ]
+        ref = self._reference(proposals, cls_logits, box_deltas, h, w)
+        assert len(got) == len(ref) > 0
+        got.sort(key=lambda t: -t[0])
+        for (gs, gc, gb), (rs, rc, rb) in zip(got, ref):
+            assert gc == rc
+            np.testing.assert_allclose(gs, rs, rtol=1e-5)
+            np.testing.assert_allclose(gb, rb, rtol=1e-4, atol=1e-3)

@@ -37,45 +37,65 @@ def _ln(xf: jax.Array, scale, bias, dtype):
     return (y * scale + bias).astype(dtype)
 
 
+def fold_tree(params: Dict[str, Any], dtype=jnp.bfloat16, layers: int = 12) -> Dict[str, Any]:
+    """Pure params -> pre-cast tensor tree.  Jittable (see
+    inception_fast.fold_tree for why that matters through the axon tunnel)."""
+    p = params["params"]["visual"] if "params" in params else params["visual"]
+    d = dtype
+    k = jnp.asarray(p["conv1"]["kernel"], jnp.float32)  # [32,32,3,768]
+    width = k.shape[-1]
+    out = dict(
+        # patchify-as-matmul: rows are the conv's im2col patches [p*p*3]
+        wpatch=k.reshape(-1, width).astype(d),
+        cls=jnp.asarray(p["class_embedding"], jnp.float32),
+        pos=jnp.asarray(p["positional_embedding"], jnp.float32),
+        ln_pre=(jnp.asarray(p["ln_pre"]["scale"], jnp.float32),
+                jnp.asarray(p["ln_pre"]["bias"], jnp.float32)),
+        ln_post=(jnp.asarray(p["ln_post"]["scale"], jnp.float32),
+                 jnp.asarray(p["ln_post"]["bias"], jnp.float32)),
+        proj=jnp.asarray(p["proj"], jnp.float32).astype(d),
+        blocks=[],
+    )
+    for i in range(layers):
+        b = p["transformer"][f"resblocks_{i}"]
+        out["blocks"].append(dict(
+            ln1=(jnp.asarray(b["ln_1"]["scale"], jnp.float32),
+                 jnp.asarray(b["ln_1"]["bias"], jnp.float32)),
+            ln2=(jnp.asarray(b["ln_2"]["scale"], jnp.float32),
+                 jnp.asarray(b["ln_2"]["bias"], jnp.float32)),
+            wqkv=jnp.asarray(b["attn"]["in_proj"]["kernel"], jnp.float32).astype(d),
+            bqkv=jnp.asarray(b["attn"]["in_proj"]["bias"], jnp.float32),
+            wo=jnp.asarray(b["attn"]["out_proj"]["kernel"], jnp.float32).astype(d),
+            bo=jnp.asarray(b["attn"]["out_proj"]["bias"], jnp.float32),
+            w1=jnp.asarray(b["mlp_c_fc"]["kernel"], jnp.float32).astype(d),
+            b1=jnp.asarray(b["mlp_c_fc"]["bias"], jnp.float32),
+            w2=jnp.asarray(b["mlp_c_proj"]["kernel"], jnp.float32).astype(d),
+            b2=jnp.asarray(b["mlp_c_proj"]["bias"], jnp.float32),
+        ))
+    return out
+
+
 class FastCLIPVisual:
     """Pre-cast bf16 image-tower forward. ``params`` is the flax CLIP tree
-    (clip_vit.CLIP / params_from_openai_state_dict layout)."""
+    (clip_vit.CLIP / params_from_openai_state_dict layout); or pass
+    ``folded=`` a pre-computed/jitted ``fold_tree`` result."""
 
-    def __init__(self, params: Dict[str, Any], dtype=jnp.bfloat16, layers: int = 12,
-                 heads: int = 12, patch: int = 32):
-        p = params["params"]["visual"] if "params" in params else params["visual"]
+    def __init__(self, params: Dict[str, Any] = None, dtype=jnp.bfloat16, layers: int = 12,
+                 heads: int = 12, patch: int = 32, folded: Dict[str, Any] = None):
         d = dtype
         self.dtype = d
         self.heads = heads
         self.patch = patch
-        k = jnp.asarray(p["conv1"]["kernel"], jnp.float32)  # [32,32,3,768]
-        self.width = k.shape[-1]
-        # patchify-as-matmul: rows are the conv's im2col patches [p*p*3]
-        self.wpatch = k.reshape(-1, self.width).astype(d)
-        self.cls = jnp.asarray(p["class_embedding"], jnp.float32)
-        self.pos = jnp.asarray(p["positional_embedding"], jnp.float32)
-        self.ln_pre = (jnp.asarray(p["ln_pre"]["scale"], jnp.float32),
-                       jnp.asarray(p["ln_pre"]["bias"], jnp.float32))
-        self.ln_post = (jnp.asarray(p["ln_post"]["scale"], jnp.float32),
-                        jnp.asarray(p["ln_post"]["bias"], jnp.float32))
-        self.proj = jnp.asarray(p["proj"], jnp.float32).astype(d)
-        self.blocks = []
-        for i in range(layers):
-            b = p["transformer"][f"resblocks_{i}"]
-            self.blocks.append(dict(
-                ln1=(jnp.asarray(b["ln_1"]["scale"], jnp.float32),
-                     jnp.asarray(b["ln_1"]["bias"], jnp.float32)),
-                ln2=(jnp.asarray(b["ln_2"]["scale"], jnp.float32),
-                     jnp.asarray(b["ln_2"]["bias"], jnp.float32)),
-                wqkv=jnp.asarray(b["attn"]["in_proj"]["kernel"], jnp.float32).astype(d),
-                bqkv=jnp.asarray(b["attn"]["in_proj"]["bias"], jnp.float32),
-                wo=jnp.asarray(b["attn"]["out_proj"]["kernel"], jnp.float32).astype(d),
-                bo=jnp.asarray(b["attn"]["out_proj"]["bias"], jnp.float32),
-                w1=jnp.asarray(b["mlp_c_fc"]["kernel"], jnp.float32).astype(d),
-                b1=jnp.asarray(b["mlp_c_fc"]["bias"], jnp.float32),
-                w2=jnp.asarray(b["mlp_c_proj"]["kernel"], jnp.float32).astype(d),
-                b2=jnp.asarray(b["mlp_c_proj"]["bias"], jnp.float32),
-            ))
+        if folded is None:
+            folded = fold_tree(params, dtype, layers)
+        self.wpatch = folded["wpatch"]
+        self.width = self.wpatch.shape[-1]
+        self.cls = folded["cls"]
+        self.pos = folded["pos"]
+        self.ln_pre = folded["ln_pre"]
+        self.ln_post = folded["ln_post"]
+        self.proj = folded["proj"]
+        self.blocks = folded["blocks"]
 
     def _block(self, xf: jax.Array, blk, b: int, t: int) -> jax.Array:
         d = self.dtype

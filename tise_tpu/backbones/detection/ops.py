@@ -133,15 +133,20 @@ def roi_align(
     y0, y1i, fy = bilinear(ys, h)
     x0, x1i, fx = bilinear(xs, w)
 
-    # gather rows then columns (separable bilinear): [N, S, W, C]
-    rows = feat[y0] * (1 - fy)[..., None, None] + feat[y1i] * fy[..., None, None]
-    # gather columns per box: rows[n, s_y, x, c] at x0/x1 [N, S_x]
-    def gather_cols(r, x0n, x1n, fxn):
-        a = r[:, x0n, :]  # [S_y, S_x, C]
-        b = r[:, x1n, :]
-        return a * (1 - fxn)[None, :, None] + b * fxn[None, :, None]
-
-    vals = jax.vmap(gather_cols)(rows, x0, x1i, fx)  # [N, S_y, S_x, C]
+    # direct 4-corner gathers on the flattened map: peak intermediate is
+    # [N, S, S, C] (the separable row-then-column form materialized
+    # [N, S, W, C] — 2.9 GB/image at stride 4 / 800 px, OOM at batch 8)
+    feat_flat = feat.reshape(h * w, c)
+    iy0, iy1 = y0[:, :, None], y1i[:, :, None]  # [N, S, 1]
+    ix0, ix1 = x0[:, None, :], x1i[:, None, :]  # [N, 1, S]
+    wy0, wy1 = (1 - fy)[:, :, None, None], fy[:, :, None, None]
+    wx0, wx1 = (1 - fx)[:, None, :, None], fx[:, None, :, None]
+    vals = (
+        feat_flat[iy0 * w + ix0] * (wy0 * wx0)
+        + feat_flat[iy0 * w + ix1] * (wy0 * wx1)
+        + feat_flat[iy1 * w + ix0] * (wy1 * wx0)
+        + feat_flat[iy1 * w + ix1] * (wy1 * wx1)
+    )  # [N, S_y, S_x, C]
     s = sampling
     vals = vals.reshape(n, out_size, s, out_size, s, c)
     return jnp.mean(vals, axis=(2, 4))

@@ -81,6 +81,51 @@ class Detections(NamedTuple):
     valid: jax.Array  # [D] bool
 
 
+def postprocess_detections(
+    proposals: jax.Array,
+    prop_valid: jax.Array,
+    cls_logits: jax.Array,
+    box_deltas: jax.Array,
+    h: int,
+    w: int,
+    score_thresh: float = 0.5,
+) -> Detections:
+    """detectron2 ``fast_rcnn_inference_single_image`` as static shapes:
+    softmax minus background -> per-class box decode/clip -> score threshold
+    (cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST, crop_object.py:20) -> per-class
+    NMS 0.5 via one batched NMS with the class-offset trick -> top
+    ``DETECTIONS_PER_IMAGE`` with a validity mask.  Parity vs a sequential
+    dynamic-shape reference is tested (tests/test_detection.py)."""
+    k = proposals.shape[0]
+    probs = jax.nn.softmax(cls_logits.astype(jnp.float32), axis=-1)[:, :NUM_CLASSES]  # drop background
+    wx, wy, ww, wh = BOX_REG_WEIGHTS
+    d = box_deltas.astype(jnp.float32).reshape(k, NUM_CLASSES, 4) / jnp.asarray([wx, wy, ww, wh])
+    cls_boxes = ops.apply_deltas(proposals[:, None, :], d)
+    cls_boxes = ops.clip_boxes(cls_boxes, h, w)  # [K, C, 4]
+
+    # flatten (proposal, class) pairs; batched per-class NMS by offsetting
+    # boxes per class so cross-class overlaps never suppress
+    flat_scores = jnp.where(prop_valid[:, None], probs, 0.0).reshape(-1)
+    flat_boxes = cls_boxes.reshape(-1, 4)
+    flat_cls = jnp.broadcast_to(jnp.arange(NUM_CLASSES)[None, :], (k, NUM_CLASSES)).reshape(-1)
+    score_ok = flat_scores > score_thresh
+    masked_scores = jnp.where(score_ok, flat_scores, -jnp.inf)
+    top = min(4 * DETECTIONS_PER_IMAGE, masked_scores.shape[0])
+    sel_scores, sel = jax.lax.top_k(masked_scores, top)
+    sel_boxes = flat_boxes[sel]
+    sel_cls = flat_cls[sel]
+    offset = sel_cls.astype(jnp.float32)[:, None] * (jnp.maximum(h, w) + 1.0)
+    keep = ops.nms_mask(sel_boxes + offset, sel_scores, NMS_THRESH)
+    final_scores = jnp.where(keep, sel_scores, -jnp.inf)
+    out_scores, order = jax.lax.top_k(final_scores, DETECTIONS_PER_IMAGE)
+    return Detections(
+        boxes=sel_boxes[order],
+        scores=jnp.where(jnp.isfinite(out_scores), out_scores, 0.0),
+        classes=sel_cls[order],
+        valid=jnp.isfinite(out_scores),
+    )
+
+
 class FasterRCNN(nn.Module):
     """Backbone + RPN + ROI box head; single-image static-shape inference."""
 
@@ -130,32 +175,6 @@ class FasterRCNN(nn.Module):
             r = ops.roi_align(feats[lvl - 2][0], proposals, STRIDES[lvl - 2])
             roi = jnp.where((levels == lvl)[:, None, None, None], r.astype(self.dtype), roi)
 
-        # ---- box head + per-class decode ----
+        # ---- box head + per-class decode + NMS (shared postprocess) ----
         cls_logits, box_deltas = self.box_head(roi)
-        probs = jax.nn.softmax(cls_logits.astype(jnp.float32), axis=-1)[:, :NUM_CLASSES]  # drop background
-        wx, wy, ww, wh = BOX_REG_WEIGHTS
-        d = box_deltas.astype(jnp.float32).reshape(k, NUM_CLASSES, 4) / jnp.asarray([wx, wy, ww, wh])
-        cls_boxes = ops.apply_deltas(proposals[:, None, :], d)
-        cls_boxes = ops.clip_boxes(cls_boxes, h, w)  # [K, C, 4]
-
-        # flatten (proposal, class) pairs; batched per-class NMS by offsetting
-        # boxes per class so cross-class overlaps never suppress
-        flat_scores = jnp.where(prop_valid[:, None], probs, 0.0).reshape(-1)
-        flat_boxes = cls_boxes.reshape(-1, 4)
-        flat_cls = jnp.broadcast_to(jnp.arange(NUM_CLASSES)[None, :], (k, NUM_CLASSES)).reshape(-1)
-        score_ok = flat_scores > 0.5  # SCORE_THRESH_TEST (crop_object.py:20)
-        masked_scores = jnp.where(score_ok, flat_scores, -jnp.inf)
-        top = min(4 * DETECTIONS_PER_IMAGE, masked_scores.shape[0])
-        sel_scores, sel = jax.lax.top_k(masked_scores, top)
-        sel_boxes = flat_boxes[sel]
-        sel_cls = flat_cls[sel]
-        offset = sel_cls.astype(jnp.float32)[:, None] * (jnp.maximum(h, w) + 1.0)
-        keep = ops.nms_mask(sel_boxes + offset, sel_scores, NMS_THRESH)
-        final_scores = jnp.where(keep, sel_scores, -jnp.inf)
-        out_scores, order = jax.lax.top_k(final_scores, DETECTIONS_PER_IMAGE)
-        return Detections(
-            boxes=sel_boxes[order],
-            scores=jnp.where(jnp.isfinite(out_scores), out_scores, 0.0),
-            classes=sel_cls[order],
-            valid=jnp.isfinite(out_scores),
-        )
+        return postprocess_detections(proposals, prop_valid, cls_logits, box_deltas, h, w)

@@ -34,6 +34,7 @@ from typing import Any, Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 BN_EPS = 0.001
 
@@ -63,35 +64,39 @@ def _max_pool(x, k=3, s=2, pad="VALID"):
     )
 
 
-def _avg_pool9(x):
-    """3x3/s1/p1 avg pool, count_include_pad=True (torch semantics)."""
-    s = jax.lax.reduce_window(
-        x.astype(jnp.float32), 0.0, jax.lax.add, (1, 3, 3, 1), (1, 1, 1, 1),
-        ((0, 0), (1, 1), (1, 1), (0, 0)),
-    )
-    return (s * (1.0 / 9.0)).astype(x.dtype)
+def fold_tree(params: Dict[str, Any], dtype=jnp.bfloat16) -> Dict[str, Any]:
+    """Pure params -> {"w": {name: (kernel, bias)}, "fc": (w, b)} folding.
+
+    Jittable: ``jax.jit(partial(fold_tree, dtype=d))(params)`` turns the
+    ~200 small folding ops into one compiled program — this matters through
+    the axon tunnel, where eager per-op dispatch costs minutes of RTT.
+    """
+    p = params["params"] if "params" in params else params
+    f = functools.partial(_fold, dtype=dtype)
+    w: Dict[str, Tuple[jax.Array, jax.Array]] = {}
+    fc = None
+    for name, mod in p.items():
+        if name == "fc":
+            fc = (jnp.asarray(mod["kernel"], jnp.float32).astype(dtype), jnp.asarray(mod["bias"], jnp.float32))
+            continue
+        if "conv" in mod:  # stem convs
+            w[name] = f(mod)
+        else:  # Mixed_* blocks: one entry per branch conv
+            for bname, bmod in mod.items():
+                w[f"{name}.{bname}"] = f(bmod)
+    return {"w": w, "fc": fc}
 
 
 class FastInception:
-    """Pre-folded bf16 forward. ``params`` is the flax InceptionV3 tree."""
+    """Pre-folded bf16 forward. ``params`` is the flax InceptionV3 tree (or
+    pass ``folded=`` a pre-computed/jitted ``fold_tree`` result)."""
 
-    def __init__(self, params: Dict[str, Any], dtype=jnp.bfloat16):
-        p = params["params"] if "params" in params else params
+    def __init__(self, params: Dict[str, Any] = None, dtype=jnp.bfloat16, folded: Dict[str, Any] = None):
         self.dtype = dtype
-        f = functools.partial(_fold, dtype=dtype)
-        self.w: Dict[str, Tuple[jax.Array, jax.Array]] = {}
-        for name, mod in p.items():
-            if name == "fc":
-                self.fc = (
-                    jnp.asarray(mod["kernel"], jnp.float32).astype(dtype),
-                    jnp.asarray(mod["bias"], jnp.float32),
-                )
-                continue
-            if "conv" in mod:  # stem convs
-                self.w[name] = f(mod)
-            else:  # Mixed_* blocks: one entry per branch conv
-                for bname, bmod in mod.items():
-                    self.w[f"{name}.{bname}"] = f(bmod)
+        if folded is None:
+            folded = fold_tree(params, dtype)
+        self.w = folded["w"]
+        self.fc = folded["fc"]
 
     def _cat(self, names: Sequence[str]):
         """Concatenate folded 1x1 kernels/biases of several branches."""
@@ -101,23 +106,49 @@ class FastInception:
 
     # -- blocks -------------------------------------------------------------
 
-    def _fanout(self, x, names: Sequence[str]):
-        w, b = self._cat(names)
-        y = _conv(x, w, b)
-        sizes = [self.w[n][0].shape[-1] for n in names]
-        splits = []
+    def _fanout(self, x, names: Sequence[str], pool_name: str = None):
+        """One combined 1x1 conv for all branch heads (x read once).
+
+        ``pool_name``: the avg-pool branch's 1x1.  A stride-1 avg pool and a
+        1x1 conv commute exactly (both linear over independent axes), so the
+        pool branch's conv joins the fan-out and the 768-channel input is
+        never re-read for pooling — the pool runs on the branch's thin output
+        instead.  The bias must be added AFTER the pool (zero edge padding
+        would otherwise average the bias with count < 9), and relu after
+        that; same algebra as conv(pool(x)) to f32 exactness.
+        """
+        all_names = tuple(names) + ((pool_name,) if pool_name else ())
+        w, b = self._cat(all_names)
+        y = jax.lax.conv_general_dilated(
+            x, w, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        ).astype(jnp.float32)
+        sizes = [self.w[n][0].shape[-1] for n in all_names]
+        offs = np.cumsum(sizes[:-1]).tolist()
+        parts = jnp.split(y, offs, axis=-1)
+        outs = []
         off = 0
-        for s in sizes[:-1]:
-            off += s
-            splits.append(off)
-        return jnp.split(y, splits, axis=-1)
+        for i, n in enumerate(names):
+            bi = b[..., off : off + sizes[i]]
+            outs.append(jnp.maximum(parts[i] + bi, 0.0).astype(x.dtype))
+            off += sizes[i]
+        if pool_name:
+            raw = parts[-1].astype(x.dtype)  # pre-bias, pre-relu
+            s = jax.lax.reduce_window(
+                raw.astype(jnp.float32), 0.0, jax.lax.add, (1, 3, 3, 1), (1, 1, 1, 1),
+                ((0, 0), (1, 1), (1, 1), (0, 0)),
+            )
+            bp = jnp.maximum(s * (1.0 / 9.0) + b[..., off:], 0.0).astype(x.dtype)
+            outs.append(bp)
+        return outs
 
     def _block_a(self, x, m: str):
-        b1, b5, b3 = self._fanout(x, (f"{m}.branch1x1", f"{m}.branch5x5_1", f"{m}.branch3x3dbl_1"))
+        b1, b5, b3, bp = self._fanout(
+            x, (f"{m}.branch1x1", f"{m}.branch5x5_1", f"{m}.branch3x3dbl_1"),
+            pool_name=f"{m}.branch_pool",
+        )
         b5 = _conv(b5, *self.w[f"{m}.branch5x5_2"], padding=((2, 2), (2, 2)))
         b3 = _conv(b3, *self.w[f"{m}.branch3x3dbl_2"], padding=((1, 1), (1, 1)))
         b3 = _conv(b3, *self.w[f"{m}.branch3x3dbl_3"], padding=((1, 1), (1, 1)))
-        bp = _conv(_avg_pool9(x), *self.w[f"{m}.branch_pool"])
         return jnp.concatenate([b1, b5, b3, bp], axis=-1)
 
     def _block_b(self, x, m: str):
@@ -128,14 +159,16 @@ class FastInception:
         return jnp.concatenate([b3, bd, _max_pool(x)], axis=-1)
 
     def _block_c(self, x, m: str):
-        b1, b7, bd = self._fanout(x, (f"{m}.branch1x1", f"{m}.branch7x7_1", f"{m}.branch7x7dbl_1"))
+        b1, b7, bd, bp = self._fanout(
+            x, (f"{m}.branch1x1", f"{m}.branch7x7_1", f"{m}.branch7x7dbl_1"),
+            pool_name=f"{m}.branch_pool",
+        )
         b7 = _conv(b7, *self.w[f"{m}.branch7x7_2"], padding=((0, 0), (3, 3)))
         b7 = _conv(b7, *self.w[f"{m}.branch7x7_3"], padding=((3, 3), (0, 0)))
         bd = _conv(bd, *self.w[f"{m}.branch7x7dbl_2"], padding=((3, 3), (0, 0)))
         bd = _conv(bd, *self.w[f"{m}.branch7x7dbl_3"], padding=((0, 0), (3, 3)))
         bd = _conv(bd, *self.w[f"{m}.branch7x7dbl_4"], padding=((3, 3), (0, 0)))
         bd = _conv(bd, *self.w[f"{m}.branch7x7dbl_5"], padding=((0, 0), (3, 3)))
-        bp = _conv(_avg_pool9(x), *self.w[f"{m}.branch_pool"])
         return jnp.concatenate([b1, b7, bd, bp], axis=-1)
 
     def _block_d(self, x, m: str):
@@ -147,7 +180,10 @@ class FastInception:
         return jnp.concatenate([b3, b7, _max_pool(x)], axis=-1)
 
     def _block_e(self, x, m: str):
-        b1, b3, bd = self._fanout(x, (f"{m}.branch1x1", f"{m}.branch3x3_1", f"{m}.branch3x3dbl_1"))
+        b1, b3, bd, bp = self._fanout(
+            x, (f"{m}.branch1x1", f"{m}.branch3x3_1", f"{m}.branch3x3dbl_1"),
+            pool_name=f"{m}.branch_pool",
+        )
         b3 = jnp.concatenate(
             [
                 _conv(b3, *self.w[f"{m}.branch3x3_2a"], padding=((0, 0), (1, 1))),
@@ -163,7 +199,6 @@ class FastInception:
             ],
             axis=-1,
         )
-        bp = _conv(_avg_pool9(x), *self.w[f"{m}.branch_pool"])
         return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
     # -- trunk --------------------------------------------------------------

@@ -531,10 +531,62 @@ def exp_fix2():
 
     timeit_injit("1x7 as concat+1 dot [M,1120]", c1x7_stack, xs, w7m)
 
+
+
+# ---------------------------------------------------------------------------
+def exp_fast():
+    """Per-section timing of the production fast paths (bench.py composition):
+    FastInception prefixes by endpoint + FastCLIPVisual, plus the combined
+    extract step — fresh hotspot map for the >=5k push."""
+    from tise_tpu.backbones import clip_fast, clip_vit, inception_fast, inception_v3
+    from tise_tpu.ops.preprocess import normalize
+
+    from tise_tpu.core import compile_cache
+
+    compile_cache.enable()
+    inc = inception_v3.InceptionV3(num_classes=1000, dtype=DT)
+    inc_params = jax.jit(
+        lambda r: inc.init(r, jnp.zeros((1, 299, 299, 3), DT), endpoints=("logits",))
+    )(jax.random.PRNGKey(0))
+    fast_inc = inception_fast.FastInception(
+        dtype=DT, folded=jax.jit(lambda p: inception_fast.fold_tree(p, DT))(inc_params)
+    )
+    clip_params = jax.jit(lambda r: clip_vit.random_params(r, dtype=DT))(jax.random.PRNGKey(0))
+    fast_clip = clip_fast.FastCLIPVisual(
+        dtype=DT, folded=jax.jit(lambda p: clip_fast.fold_tree(p, DT))(clip_params)
+    )
+    img299 = u8((B, 299, 299, 3))
+    img224 = u8((B, 224, 224, 3), 1)
+
+    def prefix(endpoint):
+        def fn(seed, x):
+            x = normalize(jnp.bitwise_xor(x, seed), "fid", DT)
+            return fast_inc(x, endpoints=(endpoint,))[endpoint]
+
+        return fn
+
+    last = 0.0
+    for ep in inception_v3.ENDPOINTS:
+        t = timeit(f"fast inception -> {ep}", prefix(ep), img299)
+        print(f"{'  delta ' + ep:55s} {t - last:8.3f} ms")
+        last = t
+
+    timeit("fast clip tower", lambda s, x: fast_clip(normalize(jnp.bitwise_xor(x, s), "clip", DT)), img224)
+
+    def extract(seed, a, b):
+        f = fast_inc(normalize(jnp.bitwise_xor(a, seed), "fid", DT), endpoints=("pool3", "logits"))
+        c = fast_clip(normalize(jnp.bitwise_xor(b, seed), "clip", DT))
+        return jnp.sum(f["pool3"].astype(jnp.float32)) + jnp.sum(f["logits"].astype(jnp.float32)) + jnp.sum(
+            c.astype(jnp.float32)
+        )
+
+    timeit("extract (inception+clip joint)", extract, img299, img224)
+
+
 ALL = {
     "sections": exp_sections, "conv1a": exp_conv1a, "incc": exp_incc, "clip": exp_clip,
     "incc2": exp_incc2, "inca": exp_inca, "clip2": exp_clip2, "stem2": exp_stem2,
-    "fix1": exp_fix1, "fix2": exp_fix2,
+    "fix1": exp_fix1, "fix2": exp_fix2, "fast": exp_fast,
 }
 
 if __name__ == "__main__":
@@ -543,5 +595,3 @@ if __name__ == "__main__":
     for n in names:
         print(f"--- {n} ---")
         ALL[n]()
-
-
