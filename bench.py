@@ -114,8 +114,13 @@ def main() -> None:
         dtype=dtype, folded=jax.jit(lambda p: clip_fast.fold_tree(p, dtype))(clip_params)
     )
 
-    @jax.jit
-    def extract(img299_u8, img224_u8, seed):
+    # the tunnel adds a measured ~10 ms fixed cost to EVERY dispatched
+    # execution (independent of input size; likely its result-cache arg
+    # hashing) — chain several batches per execution with a fori_loop so the
+    # tax amortizes the same way it does on a direct-attached chip
+    chain = 8 if on_tpu else 1
+
+    def extract_one(img299_u8, img224_u8, seed):
         x299 = jnp.bitwise_xor(img299_u8, seed)
         x224 = jnp.bitwise_xor(img224_u8, seed)
         feats = fast_inc(normalize(x299, "fid", dtype), endpoints=("pool3", "logits"))
@@ -126,6 +131,13 @@ def main() -> None:
             + jnp.sum(clip_feat.astype(jnp.float32))
         )
 
+    @jax.jit
+    def extract(img299_u8, img224_u8, seed0):
+        def body(i, acc):
+            return acc + extract_one(img299_u8, img224_u8, seed0 + i.astype(jnp.uint8))
+
+        return jax.lax.fori_loop(0, chain, body, jnp.float32(0))
+
     host = np.random.RandomState(0)
     touch = jax.jit(lambda x: jnp.sum(x, dtype=jnp.int32))
     d299 = jax.device_put(host.randint(0, 256, (batch, 299, 299, 3)).astype(np.uint8))
@@ -134,7 +146,7 @@ def main() -> None:
     int(touch(d299))  # force-materialize uploads before timing
     int(touch(d224))
 
-    seeds = [jnp.uint8(i) for i in range(iters + 1)]
+    seeds = [jnp.uint8(1 + chain * i) for i in range(iters + 1)]
     _mark("compile+warm extract")
     float(extract(d299, d224, seeds[0]))  # compile + warm
     _mark("timing extract")
@@ -144,7 +156,7 @@ def main() -> None:
     float(outs[-1])  # in-order execution: last done => all done
     dt = time.perf_counter() - t0
 
-    images_per_sec = batch * iters / dt
+    images_per_sec = batch * chain * iters / dt
     line = {
         "metric": "inception+clip_extraction_throughput",
         "value": round(images_per_sec, 2),

@@ -230,3 +230,39 @@ class TestTrainStep:
             # while g_loss moves 3.5e-3 — benign amplification, not a TP bug.
             rtol = 2e-2 if k == "g_loss" else 1e-4
             np.testing.assert_allclose(tp[k], rep[k], rtol=rtol, atol=1e-5, err_msg=k)
+
+
+class TestRematOption:
+    def test_remat_gradients_match(self):
+        """GanConfig(remat=True) rematerializes stages in backward; values and
+        gradients must be identical to the unrematted graph."""
+        import dataclasses
+
+        from tise_tpu.models.attngan_pp.generator import GanConfig, GNet
+
+        base = GanConfig(gf_dim=4, df_dim=4, z_dim=8, condition_dim=8, embedding_dim=16, words_num=4)
+        b = 2
+        key = jax.random.PRNGKey(0)
+        z = jax.random.normal(key, (b, base.z_dim))
+        sent = jax.random.normal(jax.random.fold_in(key, 1), (b, base.embedding_dim))
+        words = jax.random.normal(jax.random.fold_in(key, 2), (b, base.embedding_dim, base.words_num))
+        mask = jnp.zeros((b, base.words_num), bool)
+
+        outs = {}
+        for name, cfg in (("plain", base), ("remat", dataclasses.replace(base, remat=True))):
+            model = GNet(cfg=cfg)
+            variables = model.init(key, z, sent, words, mask, key, train=True)
+
+            def loss(params, variables=variables, model=model):
+                fakes, _a, mu, logvar = model.apply(
+                    {"params": params, "batch_stats": variables["batch_stats"]},
+                    z, sent, words, mask, key, train=False,
+                )
+                return sum(jnp.sum(jnp.square(f)) for f in fakes) + jnp.sum(mu) + jnp.sum(logvar)
+
+            outs[name] = jax.value_and_grad(loss)(variables["params"])
+
+        v0, g0 = outs["plain"]
+        v1, g1 = outs["remat"]
+        np.testing.assert_allclose(v0, v1, rtol=1e-6)
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7), g0, g1)

@@ -40,6 +40,11 @@ class GanConfig:
     r_num: int = 2  # GAN.R_NUM
     branch_num: int = 3  # TREE.BRANCH_NUM
     words_num: int = 18  # TEXT.WORDS_NUM
+    #: rematerialize the G stages in the backward pass (jax.checkpoint);
+    #: trades ~1.3x FLOPs for the 64-256px stage activations — enables
+    #: gf_dim>=256 at batch 64 on one chip.  TPU-native option, no
+    #: reference equivalent (torch keeps all activations).
+    remat: bool = False
 
 
 class CANet(nn.Module):
@@ -128,18 +133,23 @@ class GNet(nn.Module):
     ):
         cfg = self.cfg
         ngf = cfg.gf_dim
+        Init, Next = InitStage, NextStage
+        if cfg.remat:  # checkpoint stage boundaries (train arg is static;
+            # nn.remat counts self as argument 0)
+            Init = nn.remat(InitStage, static_argnums=(3,))
+            Next = nn.remat(NextStage, static_argnums=(4,))
         c_code, mu, logvar = CANet(cfg.condition_dim, dtype=self.dtype, name="ca_net")(sent_emb, rng)
         fake_imgs: List[jax.Array] = []
         attn_maps: List[jax.Array] = []
 
-        h = InitStage(ngf * 16, dtype=self.dtype, name="h_net1")(z, c_code, train)
+        h = Init(ngf * 16, dtype=self.dtype, name="h_net1")(z, c_code, train)
         fake_imgs.append(GetImage(dtype=self.dtype, name="img_net1")(h))
         if cfg.branch_num > 1:
-            h, a1 = NextStage(ngf, cfg.r_num, dtype=self.dtype, name="h_net2")(h, word_embs, mask, train)
+            h, a1 = Next(ngf, cfg.r_num, dtype=self.dtype, name="h_net2")(h, word_embs, mask, train)
             fake_imgs.append(GetImage(dtype=self.dtype, name="img_net2")(h))
             attn_maps.append(a1)
         if cfg.branch_num > 2:
-            h, a2 = NextStage(ngf, cfg.r_num, dtype=self.dtype, name="h_net3")(h, word_embs, mask, train)
+            h, a2 = Next(ngf, cfg.r_num, dtype=self.dtype, name="h_net3")(h, word_embs, mask, train)
             fake_imgs.append(GetImage(dtype=self.dtype, name="img_net3")(h))
             attn_maps.append(a2)
         return fake_imgs, attn_maps, mu, logvar
