@@ -118,7 +118,7 @@ def main() -> None:
     # execution (independent of input size; likely its result-cache arg
     # hashing) — chain several batches per execution with a fori_loop so the
     # tax amortizes the same way it does on a direct-attached chip
-    chain = 8 if on_tpu else 1
+    chain = 16 if on_tpu else 1
 
     def extract_one(img299_u8, img224_u8, seed):
         x299 = jnp.bitwise_xor(img299_u8, seed)
@@ -146,7 +146,9 @@ def main() -> None:
     int(touch(d299))  # force-materialize uploads before timing
     int(touch(d224))
 
-    seeds = [jnp.uint8(1 + chain * i) for i in range(iters + 1)]
+    # distinct s0 per call defeats the tunnel's result cache (cache key is the
+    # whole execution's args); overlap between the per-rep windows is fine
+    seeds = [jnp.uint8(i) for i in range(iters + 1)]
     _mark("compile+warm extract")
     float(extract(d299, d224, seeds[0]))  # compile + warm
     _mark("timing extract")

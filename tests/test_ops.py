@@ -218,38 +218,3 @@ class TestPallasKernels:
         sigma = _random_psd(rng, 64)
         d = sqrtm.frechet_distance(mu, sigma, mu, sigma, method="ns-pallas")
         assert abs(d) < 1e-2
-
-
-class TestFusedStem:
-    """Interpret-mode parity of the experimental fused Pallas stem (compiled
-    TPU lowering is blocked by a Mosaic reshape limitation — see the module
-    docstring)."""
-
-    def test_matches_unfused_chain(self, rng):
-        from jax.experimental.pallas import tpu as pltpu
-
-        from tise_tpu.backbones import inception_v3
-        from tise_tpu.ops import pallas_stem as ps
-
-        params = inception_v3.random_params(jax.random.PRNGKey(0), num_classes=10)["params"]
-        folded = ps.fold_stem_params(params, "fid")
-        imgs = jnp.asarray(rng.randint(0, 256, (2, 299, 299, 3)).astype(np.uint8))
-        ref = np.asarray(ps.stem_reference(imgs, folded))
-        with pltpu.force_tpu_interpret_mode():
-            got = np.asarray(ps.fused_stem(imgs, folded))
-        assert got.shape == (2, 73, 73, 64)
-        np.testing.assert_allclose(got, ref, atol=2e-5)
-
-    def test_folding_matches_model_stem(self, rng):
-        """Folded weights reproduce the real normalize+BasicConv2d chain."""
-        from tise_tpu.backbones import inception_v3
-        from tise_tpu.ops import pallas_stem as ps
-        from tise_tpu.ops.preprocess import normalize
-
-        params = inception_v3.random_params(jax.random.PRNGKey(1), num_classes=10)["params"]
-        folded = ps.fold_stem_params(params, "fid")
-        imgs = jnp.asarray(rng.randint(0, 256, (1, 299, 299, 3)).astype(np.uint8))
-        ref = ps.stem_reference(imgs, folded)
-        model = inception_v3.InceptionV3(num_classes=10)
-        full = model.apply({"params": params}, normalize(imgs, "fid"), endpoints=("maxpool1",))["maxpool1"]
-        np.testing.assert_allclose(np.asarray(ref), np.asarray(full), atol=2e-5)

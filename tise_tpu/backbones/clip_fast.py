@@ -97,23 +97,28 @@ class FastCLIPVisual:
         self.proj = folded["proj"]
         self.blocks = folded["blocks"]
 
-    def _block(self, xf: jax.Array, blk, b: int, t: int) -> jax.Array:
+    def _attention(self, qkv: jax.Array, b: int, t: int) -> jax.Array:
+        """qkv rows [B*T, 3*D] -> attention output rows [B*T, D]."""
         d = self.dtype
         dm = self.width
         h = self.heads
         hd = dm // h
+        qkv = qkv.reshape(b, t, 3, h, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        s = jnp.einsum("bqhd,bkhd->bhqk", q * (hd ** -0.5), k, preferred_element_type=jnp.float32)
+        a = jax.nn.softmax(s, axis=-1).astype(d)
+        o = jnp.einsum("bhqk,bkhd->bqhd", a, v, preferred_element_type=jnp.float32).astype(d)
+        return o.reshape(b * t, dm)
+
+    def _block(self, xf: jax.Array, blk, b: int, t: int) -> jax.Array:
+        d = self.dtype
         y = _ln(xf, *blk["ln1"], d)
         # dense ops keep the dot output in the compute dtype: with a forced
         # f32 dot output XLA materializes the f32 buffer before the bias/cast
         # epilogue (measured 2x slower at [12800,768]x[768,2304] on v5e);
         # the MXU still accumulates in f32 either way
         qkv = (jnp.dot(y, blk["wqkv"]) + blk["bqkv"]).astype(d)
-        qkv = qkv.reshape(b, t, 3, h, hd)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        s = jnp.einsum("bqhd,bkhd->bhqk", q * (hd ** -0.5), k, preferred_element_type=jnp.float32)
-        a = jax.nn.softmax(s, axis=-1).astype(d)
-        o = jnp.einsum("bhqk,bkhd->bqhd", a, v, preferred_element_type=jnp.float32).astype(d)
-        o = o.reshape(b * t, dm)
+        o = self._attention(qkv, b, t)
         xf = xf + (jnp.dot(o, blk["wo"]) + blk["bo"]).astype(d)
         y = _ln(xf, *blk["ln2"], d)
         y = (jnp.dot(y, blk["w1"]) + blk["b1"]).astype(d)
