@@ -3,10 +3,18 @@
 Preprocessing parity with detectron2's DefaultPredictor on the reference
 configs: BGR input (cv2.imread, SOA.py:86 / crop_object.py:30), shortest edge
 resized to 800, pixel mean [103.53, 116.28, 123.675] subtracted (std 1 for
-the caffe-style R50).  Static shapes: every image is resized to exactly
-800 x 800 — TISE's generated images are square (256/299 px), so the aspect
-ratio is preserved; boxes are rescaled back to original coordinates like
-detectron2's postprocessing.
+the caffe-style R50).  Static shapes, two modes:
+
+  * default: every image resized to exactly 800 x 800 — TISE's generated
+    images are square (256/299 px), so the aspect ratio is preserved and one
+    program is compiled;
+  * ``aspect_buckets``: detectron2-parity ResizeShortestEdge(800, max 1333)
+    with zero-padding into one of a few static (h, w) buckets and the true
+    (pre-padding) extent passed to the model for box clipping, exactly like
+    detectron2's ImageList.image_sizes — for non-square sources.
+
+Boxes are rescaled back to original coordinates like detectron2's
+postprocessing.
 
 The per-image forward is vmapped and jitted once with its batch axis sharded
 over the mesh's ``data`` axis (the SOA sweep — 80 labels x ~30k images — is
@@ -33,6 +41,12 @@ from tise_tpu.core.mesh import make_mesh
 
 INPUT_SIZE = 800
 PIXEL_MEAN_BGR = np.array([103.530, 116.280, 123.675], np.float32)
+#: detectron2 ResizeShortestEdge defaults on the reference configs
+SHORT_EDGE = 800
+MAX_SIZE = 1333
+#: static shape buckets for aspect-preserving inference (square, landscape,
+#: portrait); 1344 = 1333 rounded up for even FPN striding
+DEFAULT_BUCKETS = ((800, 800), (800, 1344), (1344, 800))
 
 
 def load_bgr_image(path: str, size: int = INPUT_SIZE) -> Tuple[np.ndarray, Tuple[int, int]]:
@@ -45,6 +59,43 @@ def load_bgr_image(path: str, size: int = INPUT_SIZE) -> Tuple[np.ndarray, Tuple
     return rgb[:, :, ::-1].copy(), orig
 
 
+def pick_bucket(rh: int, rw: int, buckets: Sequence[Tuple[int, int]]) -> int:
+    """Smallest-area bucket that fits (rh, rw); if none fits (extreme aspect
+    ratio), the bucket needing the least extra downscale."""
+    fitting = [i for i, (bh, bw) in enumerate(buckets) if bh >= rh and bw >= rw]
+    if fitting:
+        return min(fitting, key=lambda i: buckets[i][0] * buckets[i][1])
+    return max(range(len(buckets)), key=lambda i: min(buckets[i][0] / rh, buckets[i][1] / rw))
+
+
+def load_bgr_image_bucketed(
+    path: str, buckets: Sequence[Tuple[int, int]], short: int = SHORT_EDGE, max_size: int = MAX_SIZE
+) -> Tuple[np.ndarray, Tuple[int, int], Tuple[int, int], int]:
+    """detectron2 ResizeShortestEdge + zero-pad to a static bucket.
+
+    -> (uint8 BGR [bh, bw, 3], original (h, w), resized valid (rh, rw),
+    bucket index).  Scale = short/min side, capped so the long side stays
+    <= max_size (d2 ResizeShortestEdge semantics), then further capped to the
+    chosen bucket.
+    """
+    with Image.open(path) as im:
+        im = im.convert("RGB")
+        oh, ow = im.height, im.width
+        scale = short / min(oh, ow)
+        if scale * max(oh, ow) > max_size:
+            scale = max_size / max(oh, ow)
+        rh, rw = int(round(oh * scale)), int(round(ow * scale))
+        bi = pick_bucket(rh, rw, buckets)
+        bh, bw = buckets[bi]
+        if rh > bh or rw > bw:  # extreme aspect ratio: shrink into the bucket
+            fit = min(bh / rh, bw / rw)
+            rh, rw = int(rh * fit), int(rw * fit)
+        rgb = np.asarray(im.resize((rw, rh), Image.BILINEAR), np.uint8)
+    canvas = np.zeros((bh, bw, 3), np.uint8)
+    canvas[:rh, :rw] = rgb[:, :, ::-1]
+    return canvas, (oh, ow), (rh, rw), bi
+
+
 class TPUDetector:
     """Batched static-shape Mask R-CNN inference engine."""
 
@@ -55,7 +106,15 @@ class TPUDetector:
         dtype=jnp.float32,
         input_size: int = INPUT_SIZE,
         mesh: Optional[Mesh] = None,
+        aspect_buckets: Optional[Sequence[Tuple[int, int]]] = None,
+        aspect_short: int = SHORT_EDGE,
+        aspect_max: int = MAX_SIZE,
     ):
+        """``aspect_buckets``: enable detectron2-parity aspect-preserving
+        resize (ResizeShortestEdge 800/1333) with zero-padding to one of the
+        given static (h, w) buckets and true-extent box clipping.  Default
+        ``None`` keeps the square resize — exact for TISE's square generated
+        images and one compiled program instead of len(buckets)."""
         base = mesh if mesh is not None else make_mesh()
         data_axis = base.axis_names[0]
         dp = base.shape[data_axis]
@@ -84,6 +143,24 @@ class TPUDetector:
             out_shardings=NamedSharding(self.mesh, P(data_axis)),
         )
         self.params = params
+        self.aspect_buckets = tuple(aspect_buckets) if aspect_buckets else None
+        self.aspect_short = aspect_short
+        self.aspect_max = aspect_max
+
+        def single_hw(p, img_u8_bgr, valid_hw):
+            x = img_u8_bgr.astype(dtype) - jnp.asarray(PIXEL_MEAN_BGR, dtype)
+            return model.apply(p, x, valid_hw)
+
+        # one compiled program per bucket shape, shared weights
+        self._fwd_hw = jax.jit(
+            jax.vmap(single_hw, in_axes=(None, 0, 0)),
+            in_shardings=(
+                NamedSharding(self.mesh, P()),
+                self._batch_sharding,
+                NamedSharding(self.mesh, P(data_axis, None)),
+            ),
+            out_shardings=NamedSharding(self.mesh, P(data_axis)),
+        )
 
     def detect_batch(self, images_u8_bgr: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
         """[B, 800, 800, 3] BGR uint8 -> (boxes, scores, classes, valid).
@@ -99,11 +176,68 @@ class TPUDetector:
             np.asarray(det.valid),
         )
 
+    def _collect(self, out, path, det_row, scale_xy):
+        boxes, scores, classes, valid = det_row
+        sy, sx = scale_xy
+        names: List[str] = []
+        ids: List[int] = []
+        bxs: List[np.ndarray] = []
+        for j in range(boxes.shape[0]):
+            if not valid[j]:
+                continue
+            cls = int(classes[j])
+            names.append(COCO_CLASSES[cls])
+            ids.append(cls)
+            bxs.append(boxes[j] * np.array([sx, sy, sx, sy], np.float32))
+        out[path] = (names, ids, bxs)
+
+    def detect_files_bucketed(
+        self, files: Sequence[str], num_workers: int = 8
+    ) -> Dict[str, Tuple[List[str], List[int], List[np.ndarray]]]:
+        """Aspect-preserving path: group files by shape bucket, run the
+        per-bucket compiled forward with true-extent clipping, rescale boxes
+        by the uniform resize factor."""
+        out: Dict[str, Tuple[List[str], List[int], List[np.ndarray]]] = {}
+        with ThreadPoolExecutor(max_workers=num_workers) as pool:
+            decoded = list(
+                pool.map(
+                    lambda f: load_bgr_image_bucketed(
+                        f, self.aspect_buckets, self.aspect_short, self.aspect_max
+                    ),
+                    files,
+                )
+            )
+        groups: Dict[int, List[int]] = {}
+        for i, (_, _, _, bi) in enumerate(decoded):
+            groups.setdefault(bi, []).append(i)
+        for bi, idxs in groups.items():
+            for start in range(0, len(idxs), self.batch_size):
+                chunk = idxs[start : start + self.batch_size]
+                imgs = np.stack([decoded[i][0] for i in chunk])
+                hw = np.asarray([decoded[i][2] for i in chunk], np.float32)
+                if len(chunk) < self.batch_size:
+                    npad = self.batch_size - len(chunk)
+                    imgs = np.concatenate([imgs, np.zeros((npad,) + imgs.shape[1:], imgs.dtype)])
+                    hw = np.concatenate([hw, np.ones((npad, 2), np.float32)])
+                det = self._fwd_hw(
+                    self.params,
+                    jax.device_put(imgs, self._batch_sharding),
+                    jax.device_put(hw, NamedSharding(self.mesh, P(self.mesh.axis_names[0], None))),
+                )
+                b, s, c, v = (np.asarray(det.boxes), np.asarray(det.scores),
+                              np.asarray(det.classes), np.asarray(det.valid))
+                for row, i in enumerate(chunk):
+                    (oh, ow), (rh, rw) = decoded[i][1], decoded[i][2]
+                    self._collect(out, files[i], (b[row], s[row], c[row], v[row]), (oh / rh, ow / rw))
+        return out
+
     def detect_files(
         self, files: Sequence[str], num_workers: int = 8
     ) -> Dict[str, Tuple[List[str], List[int], List[np.ndarray]]]:
         """DefaultPredictor-shaped output: path -> (names, ids, boxes in
         original image coordinates)."""
+        if self.aspect_buckets:
+            return self.detect_files_bucketed(files, num_workers)
         out: Dict[str, Tuple[List[str], List[int], List[np.ndarray]]] = {}
         with ThreadPoolExecutor(max_workers=num_workers) as pool:
             for start in range(0, len(files), self.batch_size):
@@ -132,6 +266,12 @@ class TPUDetector:
         return out
 
 
-def make_folder_detector(weights_path: Optional[str], batch_size: int = 4) -> Callable:
-    det = TPUDetector(weights_path, batch_size=batch_size)
+def make_folder_detector(
+    weights_path: Optional[str], batch_size: int = 4, aspect_resize: bool = False
+) -> Callable:
+    det = TPUDetector(
+        weights_path,
+        batch_size=batch_size,
+        aspect_buckets=DEFAULT_BUCKETS if aspect_resize else None,
+    )
     return det.detect_files

@@ -89,6 +89,7 @@ def postprocess_detections(
     h: int,
     w: int,
     score_thresh: float = 0.5,
+    clip_hw=None,
 ) -> Detections:
     """detectron2 ``fast_rcnn_inference_single_image`` as static shapes:
     softmax minus background -> per-class box decode/clip -> score threshold
@@ -101,7 +102,8 @@ def postprocess_detections(
     wx, wy, ww, wh = BOX_REG_WEIGHTS
     d = box_deltas.astype(jnp.float32).reshape(k, NUM_CLASSES, 4) / jnp.asarray([wx, wy, ww, wh])
     cls_boxes = ops.apply_deltas(proposals[:, None, :], d)
-    cls_boxes = ops.clip_boxes(cls_boxes, h, w)  # [K, C, 4]
+    ch, cw = (h, w) if clip_hw is None else (clip_hw[0], clip_hw[1])
+    cls_boxes = ops.clip_boxes(cls_boxes, ch, cw)  # [K, C, 4]
 
     # flatten (proposal, class) pairs; batched per-class NMS by offsetting
     # boxes per class so cross-class overlaps never suppress
@@ -137,10 +139,16 @@ class FasterRCNN(nn.Module):
         self.rpn = RPNHead(dtype=self.dtype)
         self.box_head = BoxHead(dtype=self.dtype)
 
-    def __call__(self, image: jax.Array) -> Detections:
-        """image: normalized [H, W, 3] (BGR, mean-subtracted), H/W static and
-        divisible by 64."""
+    def __call__(self, image: jax.Array, valid_hw: jax.Array = None) -> Detections:
+        """image: normalized [H, W, 3] (BGR, mean-subtracted), H/W static.
+
+        ``valid_hw`` [2]: the true (pre-padding) image extent — detectron2
+        pads each image to the batch shape but clips proposals/boxes to the
+        TRUE size (ImageList.image_sizes); pass it when the image carries
+        zero padding from aspect-preserving bucketed resize."""
         h, w = image.shape[0], image.shape[1]
+        vh = h if valid_hw is None else valid_hw[0]
+        vw = w if valid_hw is None else valid_hw[1]
         feats = self.fpn(self.backbone(image[None]))
         logits, deltas = self.rpn(feats)
 
@@ -154,7 +162,7 @@ class FasterRCNN(nn.Module):
             k = min(PRE_NMS_TOPK, scores_l.shape[0])
             top_scores, idx = jax.lax.top_k(scores_l, k)
             boxes_l = ops.apply_deltas(anchors[idx], deltas_l[idx])
-            boxes_l = ops.clip_boxes(boxes_l, h, w)
+            boxes_l = ops.clip_boxes(boxes_l, vh, vw)
             # drop degenerate boxes (detectron2 removes empty proposals)
             wh_ok = (boxes_l[:, 2] > boxes_l[:, 0]) & (boxes_l[:, 3] > boxes_l[:, 1])
             top_scores = jnp.where(wh_ok, top_scores, -jnp.inf)
@@ -177,4 +185,7 @@ class FasterRCNN(nn.Module):
 
         # ---- box head + per-class decode + NMS (shared postprocess) ----
         cls_logits, box_deltas = self.box_head(roi)
-        return postprocess_detections(proposals, prop_valid, cls_logits, box_deltas, h, w)
+        clip_hw = None if valid_hw is None else (vh, vw)
+        return postprocess_detections(
+            proposals, prop_valid, cls_logits, box_deltas, h, w, clip_hw=clip_hw
+        )

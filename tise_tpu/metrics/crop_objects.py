@@ -56,11 +56,15 @@ def main(argv=None) -> None:
     p.add_argument("--source_image_dir", default="", type=str)
     p.add_argument("--saved_cropped_object_dir", default="", type=str)
     p.add_argument("--weights", type=str, default=None, help="Mask R-CNN weights")
+    p.add_argument("--aspect-resize", action="store_true",
+                   help="detectron2 ResizeShortestEdge(800/1333) with static shape "
+                        "buckets for non-square sources (default: square 800 resize, "
+                        "exact for TISE's square generated images)")
     args = p.parse_args(argv)
 
     from tise_tpu.backbones.detection import predictor as det
 
-    detector = det.make_folder_detector(args.weights)
+    detector = det.make_folder_detector(args.weights, aspect_resize=args.aspect_resize)
     n = crop_folder(detector, args.source_image_dir, args.saved_cropped_object_dir)
     print(f"wrote {n} crops to {args.saved_cropped_object_dir}")
 

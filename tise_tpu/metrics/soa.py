@@ -131,13 +131,17 @@ def main(argv=None) -> None:
     p.add_argument("--detected_results", type=str, default="output")
     p.add_argument("--saved_file", type=str, default="")
     p.add_argument("--weights", type=str, default=None, help="Mask R-CNN weights (.pkl/.npz)")
+    p.add_argument("--aspect-resize", action="store_true",
+                   help="detectron2 ResizeShortestEdge(800/1333) with static shape "
+                        "buckets for non-square sources (default: square 800 resize, "
+                        "exact for TISE's square generated images)")
     p.add_argument("--skip_detection", action="store_true", help="aggregate cached pickles only")
     args = p.parse_args(argv)
 
     if not args.skip_detection:
         from tise_tpu.backbones.detection import predictor as det
 
-        detector = det.make_folder_detector(args.weights)
+        detector = det.make_folder_detector(args.weights, aspect_resize=args.aspect_resize)
         run_detection(args.images, args.detected_results, detector)
     calc_soa(args.detected_results, args.saved_file)
 
