@@ -194,41 +194,53 @@ class TPUDetector:
     def detect_files_bucketed(
         self, files: Sequence[str], num_workers: int = 8
     ) -> Dict[str, Tuple[List[str], List[int], List[np.ndarray]]]:
-        """Aspect-preserving path: group files by shape bucket, run the
-        per-bucket compiled forward with true-extent clipping, rescale boxes
-        by the uniform resize factor."""
+        """Aspect-preserving path: group files by shape bucket (header-only
+        size pass — a 30k-image sweep must not hold 30k decoded canvases),
+        then decode per chunk and run the per-bucket compiled forward with
+        true-extent clipping; boxes rescale by the uniform resize factor."""
         out: Dict[str, Tuple[List[str], List[int], List[np.ndarray]]] = {}
+
+        def probe(path):
+            with Image.open(path) as im:  # header read only, no decode
+                oh, ow = im.height, im.width
+            scale = self.aspect_short / min(oh, ow)
+            if scale * max(oh, ow) > self.aspect_max:
+                scale = self.aspect_max / max(oh, ow)
+            rh, rw = int(round(oh * scale)), int(round(ow * scale))
+            return pick_bucket(rh, rw, self.aspect_buckets)
+
         with ThreadPoolExecutor(max_workers=num_workers) as pool:
-            decoded = list(
-                pool.map(
-                    lambda f: load_bgr_image_bucketed(
-                        f, self.aspect_buckets, self.aspect_short, self.aspect_max
-                    ),
-                    files,
-                )
-            )
-        groups: Dict[int, List[int]] = {}
-        for i, (_, _, _, bi) in enumerate(decoded):
-            groups.setdefault(bi, []).append(i)
-        for bi, idxs in groups.items():
-            for start in range(0, len(idxs), self.batch_size):
-                chunk = idxs[start : start + self.batch_size]
-                imgs = np.stack([decoded[i][0] for i in chunk])
-                hw = np.asarray([decoded[i][2] for i in chunk], np.float32)
-                if len(chunk) < self.batch_size:
-                    npad = self.batch_size - len(chunk)
-                    imgs = np.concatenate([imgs, np.zeros((npad,) + imgs.shape[1:], imgs.dtype)])
-                    hw = np.concatenate([hw, np.ones((npad, 2), np.float32)])
-                det = self._fwd_hw(
-                    self.params,
-                    jax.device_put(imgs, self._batch_sharding),
-                    jax.device_put(hw, NamedSharding(self.mesh, P(self.mesh.axis_names[0], None))),
-                )
-                b, s, c, v = (np.asarray(det.boxes), np.asarray(det.scores),
-                              np.asarray(det.classes), np.asarray(det.valid))
-                for row, i in enumerate(chunk):
-                    (oh, ow), (rh, rw) = decoded[i][1], decoded[i][2]
-                    self._collect(out, files[i], (b[row], s[row], c[row], v[row]), (oh / rh, ow / rw))
+            buckets_of = list(pool.map(probe, files))
+            groups: Dict[int, List[int]] = {}
+            for i, bi in enumerate(buckets_of):
+                groups.setdefault(bi, []).append(i)
+            for bi, idxs in groups.items():
+                for start in range(0, len(idxs), self.batch_size):
+                    chunk = idxs[start : start + self.batch_size]
+                    decoded = list(
+                        pool.map(
+                            lambda i: load_bgr_image_bucketed(
+                                files[i], self.aspect_buckets, self.aspect_short, self.aspect_max
+                            ),
+                            chunk,
+                        )
+                    )
+                    imgs = np.stack([d[0] for d in decoded])
+                    hw = np.asarray([d[2] for d in decoded], np.float32)
+                    if len(chunk) < self.batch_size:
+                        npad = self.batch_size - len(chunk)
+                        imgs = np.concatenate([imgs, np.zeros((npad,) + imgs.shape[1:], imgs.dtype)])
+                        hw = np.concatenate([hw, np.ones((npad, 2), np.float32)])
+                    det = self._fwd_hw(
+                        self.params,
+                        jax.device_put(imgs, self._batch_sharding),
+                        jax.device_put(hw, NamedSharding(self.mesh, P(self.mesh.axis_names[0], None))),
+                    )
+                    b, s, c, v = (np.asarray(det.boxes), np.asarray(det.scores),
+                                  np.asarray(det.classes), np.asarray(det.valid))
+                    for row, i in enumerate(chunk):
+                        (oh, ow), (rh, rw) = decoded[row][1], decoded[row][2]
+                        self._collect(out, files[i], (b[row], s[row], c[row], v[row]), (oh / rh, ow / rw))
         return out
 
     def detect_files(

@@ -75,49 +75,113 @@ def check_damsm_text(ckpt: str) -> None:
 
 
 def check_clip(ckpt: str) -> None:
-    """Converts the OpenAI checkpoint and reports embedding norms (full torch
-    reference forward requires the clip package; structural check only)."""
+    """Converts the OpenAI checkpoint and diffs both towers against the
+    torchvision-free torch replica (tests/torch_clip_ref.py), which loads the
+    real state_dict directly — a full numerical parity check."""
+    import torch
+
     import jax
     import jax.numpy as jnp
+    from tests.torch_clip_ref import TorchCLIP
     from tise_tpu.backbones import clip_vit
+    from tise_tpu.core import weights as wio
 
-    params = clip_vit.load_params(ckpt)
+    jax.config.update("jax_default_matmul_precision", "highest")
+    sd_np = wio.load_torch_state_dict(ckpt)
+    params = clip_vit.params_from_openai_state_dict(sd_np)
     model = clip_vit.CLIP()
+
+    tmodel = TorchCLIP().eval()
+    missing, unexpected = tmodel.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v)) for k, v in sd_np.items()}, strict=False
+    )
+    if missing:
+        print(f"  torch replica missing keys (check layout): {missing[:5]} ...")
+
     rng = np.random.RandomState(0)
-    img = jnp.asarray(rng.rand(1, 224, 224, 3).astype(np.float32))
-    tok = np.zeros((1, 77), np.int32)
-    tok[0, :4] = [49406, 320, 1929, 49407]  # "a photo"-ish framing
-    li, _ = model.apply(params, img, jnp.asarray(tok))
-    print(f"CLIP forward OK, logit: {float(li[0, 0]):.4f}")
+    img = rng.rand(2, 224, 224, 3).astype(np.float32) * 2 - 1
+    tok = np.zeros((2, 77), np.int64)
+    tok[:, :4] = [49406, 320, 1929, 49407]
+    j_img = np.asarray(model.apply(params, jnp.asarray(img), method=model.encode_image))
+    j_txt = np.asarray(model.apply(params, jnp.asarray(tok.astype(np.int32)), method=model.encode_text))
+    with torch.no_grad():
+        t_img = tmodel.encode_image(torch.from_numpy(img).permute(0, 3, 1, 2)).numpy()
+        t_txt = tmodel.encode_text(torch.from_numpy(tok)).numpy()
+    di = np.abs(j_img - t_img).max() / max(np.abs(t_img).max(), 1e-6)
+    dt = np.abs(j_txt - t_txt).max() / max(np.abs(t_txt).max(), 1e-6)
+    print(f"CLIP image tower max rel diff {di:.2e}; text tower {dt:.2e}")
+    assert di < 1e-4 and dt < 1e-4, "CLIP parity FAILED"
+    print("CLIP parity OK (<1e-4)")
 
 
 def check_inception(ckpt: str) -> None:
+    """Converts the torchvision checkpoint and diffs every endpoint against
+    the torchvision-free torch replica (tests/torch_inception_ref.py) loaded
+    with the same real state_dict."""
+    import torch
+
     import jax
     import jax.numpy as jnp
+    from tests.torch_inception_ref import TorchInceptionV3
     from tise_tpu.core import weights as wio
     from tise_tpu.backbones import inception_v3
 
+    jax.config.update("jax_default_matmul_precision", "highest")
+    sd_np = wio.load_torch_state_dict(ckpt)
     params = wio.load_inception_params(ckpt)
-    model = inception_v3.InceptionV3()
-    rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.rand(1, 299, 299, 3).astype(np.float32) * 2 - 1)
-    out = model.apply(params, x, endpoints=("pool3", "logits"))
-    probs = np.asarray(jax.nn.softmax(out["logits"]))
-    print(f"inception forward OK; top-1 prob {probs.max():.4f}, pool3 norm {np.linalg.norm(out['pool3']):.2f}")
-    try:
-        from torchvision import models  # noqa
+    num_classes = sd_np["fc.weight"].shape[0]
+    model = inception_v3.InceptionV3(num_classes=num_classes)
 
-        print("torchvision present: extend this check with a full torch-side diff")
-    except ImportError:
-        print("torchvision absent: numerical diff vs torch must run in the reference env")
+    tmodel = TorchInceptionV3(num_classes=num_classes).eval()
+    tensors = {k: torch.from_numpy(np.asarray(v)) for k, v in sd_np.items()
+               if not k.startswith("AuxLogits")}
+    missing, unexpected = tmodel.load_state_dict(tensors, strict=False)
+    if missing:
+        print(f"  torch replica missing keys (check layout): {missing[:5]} ...")
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(2, 299, 299, 3).astype(np.float32) * 2 - 1
+    ours = model.apply(params, jnp.asarray(x), endpoints=("maxpool1", "maxpool2", "mixed6e", "pool3", "logits"))
+    with torch.no_grad():
+        theirs = tmodel(torch.from_numpy(x).permute(0, 3, 1, 2))
+    worst = 0.0
+    for name, val in ours.items():
+        t = theirs[name].numpy()
+        if t.ndim == 4:
+            t = np.transpose(t, (0, 2, 3, 1))  # NCHW -> NHWC
+        d = np.abs(np.asarray(val) - t).max() / max(np.abs(t).max(), 1e-6)
+        print(f"  {name}: max rel diff {d:.2e}")
+        worst = max(worst, d)
+    assert worst < 1e-4, "inception parity FAILED"
+    print("inception parity OK (<1e-4, all endpoints)")
+
+
+def check_detection(ckpt: str) -> None:
+    """Loads the detectron2 pkl through our converter and runs the full
+    static-shape forward.  No independent oracle exists in this image
+    (detectron2 absent) — structural + sanity check; the ROI postprocess is
+    separately parity-tested against a sequential reference
+    (tests/test_detection.py), and real-output box comparison must run in
+    the reference env."""
+    import jax.numpy as jnp
+    from tise_tpu.backbones.detection.predictor import TPUDetector
+
+    det = TPUDetector(ckpt, batch_size=1)
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (1, 800, 800, 3)).astype(np.uint8)
+    boxes, scores, classes, valid = det.detect_batch(img)
+    n = int(valid.sum())
+    print(f"detection forward OK; {n} detections, "
+          f"top score {scores.max():.3f}" if n else "detection forward OK; no detections >0.5")
 
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("target", choices=["damsm-text", "clip", "inception"])
+    p.add_argument("target", choices=["damsm-text", "clip", "inception", "detection"])
     p.add_argument("--ckpt", required=True)
     args = p.parse_args()
-    {"damsm-text": check_damsm_text, "clip": check_clip, "inception": check_inception}[args.target](args.ckpt)
+    {"damsm-text": check_damsm_text, "clip": check_clip, "inception": check_inception,
+     "detection": check_detection}[args.target](args.ckpt)
 
 
 if __name__ == "__main__":
