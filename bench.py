@@ -118,7 +118,7 @@ def main() -> None:
     # execution (independent of input size; likely its result-cache arg
     # hashing) — chain several batches per execution with a fori_loop so the
     # tax amortizes the same way it does on a direct-attached chip
-    chain = 16 if on_tpu else 1
+    chain = 24 if on_tpu else 1
 
     def extract_one(img299_u8, img224_u8, seed):
         x299 = jnp.bitwise_xor(img299_u8, seed)
