@@ -83,7 +83,6 @@ def detector_images_per_sec(on_tpu: bool) -> float | None:
 
 def main() -> None:
     from tise_tpu.backbones import clip_fast, clip_vit, inception_fast, inception_v3
-    from tise_tpu.ops.preprocess import normalize
 
     on_tpu = jax.default_backend() not in ("cpu",)
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
@@ -106,9 +105,16 @@ def main() -> None:
     clip_params = jax.jit(lambda r: clip_vit.random_params(r, dtype=dtype))(rng)
     # bf16 throughput forwards (parity-tested vs the flax modules):
     # BN-folded combined-1x1 inception + flat-rows/1-pass-LN CLIP tower
+    # the "fid" normalize recipe folds into conv1a (exact algebra) so
+    # inception consumes RAW uint8 (measured -0.3 ms); the same fold on the
+    # CLIP patchify measured 6.7 ms SLOWER (XLA fusion regression around the
+    # patch transpose) — CLIP keeps the external fused normalize
     _mark("folding fast-forward weights (jitted)")
+    from tise_tpu.ops.preprocess import normalize
+
     fast_inc = inception_fast.FastInception(
-        dtype=dtype, folded=jax.jit(lambda p: inception_fast.fold_tree(p, dtype))(inc_params)
+        dtype=dtype,
+        folded=jax.jit(lambda p: inception_fast.fold_tree(p, dtype, input_recipe="fid"))(inc_params),
     )
     fast_clip = clip_fast.FastCLIPVisual(
         dtype=dtype, folded=jax.jit(lambda p: clip_fast.fold_tree(p, dtype))(clip_params)
@@ -123,7 +129,7 @@ def main() -> None:
     def extract_one(img299_u8, img224_u8, seed):
         x299 = jnp.bitwise_xor(img299_u8, seed)
         x224 = jnp.bitwise_xor(img224_u8, seed)
-        feats = fast_inc(normalize(x299, "fid", dtype), endpoints=("pool3", "logits"))
+        feats = fast_inc(x299, endpoints=("pool3", "logits"))
         clip_feat = fast_clip(normalize(x224, "clip", dtype))
         return (
             jnp.sum(feats["pool3"].astype(jnp.float32))

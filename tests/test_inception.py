@@ -147,3 +147,20 @@ class TestFastInceptionParity:
             g = np.asarray(got[k], np.float32)
             scale = max(np.abs(r).max(), 1e-6)
             assert np.abs(r - g).max() / scale < 0.04, f"{k}: {np.abs(r - g).max()} vs scale {scale}"
+
+    def test_input_recipe_fold_matches_external_normalize(self, model, small_params, rng):
+        """fold_tree(input_recipe="fid") consumes RAW uint8 and must match the
+        f32 path normalize(u8) -> forward (exact affine algebra in conv1a)."""
+        from tise_tpu.backbones.inception_fast import FastInception
+        from tise_tpu.ops.preprocess import normalize
+
+        u8 = jnp.asarray(rng.randint(0, 256, (2, 299, 299, 3)).astype(np.uint8))
+        plain = FastInception(small_params, jnp.float32)
+        folded = FastInception(small_params, jnp.float32, input_recipe="fid")
+        ref = jax.jit(lambda v: plain(normalize(v, "fid", jnp.float32), endpoints=("pool3", "logits")))(u8)
+        got = jax.jit(lambda v: folded(v, endpoints=("pool3", "logits")))(u8)
+        for k in ("pool3", "logits"):
+            r = np.asarray(ref[k], np.float32)
+            g = np.asarray(got[k], np.float32)
+            scale = max(np.abs(r).max(), 1e-6)
+            np.testing.assert_allclose(g, r, rtol=2e-4, atol=2e-4 * scale, err_msg=k)

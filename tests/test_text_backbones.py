@@ -214,3 +214,18 @@ class TestFastCLIPParity:
         got = np.asarray(jax.jit(fast)(x), np.float32)
         scale = max(np.abs(ref).max(), 1e-6)
         np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5 * scale)
+
+    def test_input_recipe_fold_matches_external_normalize(self, rng):
+        """fold_tree(input_recipe="clip") consumes RAW uint8 and must match
+        normalize(u8) -> tower (affine folded into the patchify matmul)."""
+        from tise_tpu.backbones import clip_fast
+        from tise_tpu.ops.preprocess import normalize
+
+        params = clip_vit.random_params(jax.random.PRNGKey(2))
+        u8 = jnp.asarray(rng.randint(0, 256, (2, 224, 224, 3)).astype(np.uint8))
+        plain = clip_fast.FastCLIPVisual(params, dtype=jnp.float32)
+        folded = clip_fast.FastCLIPVisual(params, dtype=jnp.float32, input_recipe="clip")
+        ref = np.asarray(jax.jit(lambda v: plain(normalize(v, "clip", jnp.float32)))(u8), np.float32)
+        got = np.asarray(jax.jit(folded)(u8), np.float32)
+        scale = max(np.abs(ref).max(), 1e-6)
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4 * scale)

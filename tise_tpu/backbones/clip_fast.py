@@ -37,16 +37,34 @@ def _ln(xf: jax.Array, scale, bias, dtype):
     return (y * scale + bias).astype(dtype)
 
 
-def fold_tree(params: Dict[str, Any], dtype=jnp.bfloat16, layers: int = 12) -> Dict[str, Any]:
+def fold_tree(params: Dict[str, Any], dtype=jnp.bfloat16, layers: int = 12,
+              input_recipe: str = None) -> Dict[str, Any]:
     """Pure params -> pre-cast tensor tree.  Jittable (see
-    inception_fast.fold_tree for why that matters through the axon tunnel)."""
+    inception_fast.fold_tree for why that matters through the axon tunnel).
+
+    ``input_recipe``: fold that uint8 normalize recipe into the patchify
+    matmul (x = u*s_c + t_c  =>  rows @ (s-scaled W) + (t-row @ W)) so the
+    forward consumes RAW uint8 and the normalized tensor never materializes.
+    """
     p = params["params"]["visual"] if "params" in params else params["visual"]
     d = dtype
     k = jnp.asarray(p["conv1"]["kernel"], jnp.float32)  # [32,32,3,768]
     width = k.shape[-1]
+    wpatch = k.reshape(-1, width)
+    bpatch = None
+    if input_recipe is not None:
+        from tise_tpu.ops.preprocess import RECIPES
+
+        scale, shift = RECIPES[input_recipe]
+        reps = wpatch.shape[0] // 3
+        srow = jnp.tile(jnp.asarray(scale, jnp.float32), reps)  # channel = i % 3
+        trow = jnp.tile(jnp.asarray(shift, jnp.float32), reps)
+        bpatch = trow @ wpatch
+        wpatch = wpatch * srow[:, None]
     out = dict(
+        bpatch=bpatch,
         # patchify-as-matmul: rows are the conv's im2col patches [p*p*3]
-        wpatch=k.reshape(-1, width).astype(d),
+        wpatch=wpatch.astype(d),
         cls=jnp.asarray(p["class_embedding"], jnp.float32),
         pos=jnp.asarray(p["positional_embedding"], jnp.float32),
         ln_pre=(jnp.asarray(p["ln_pre"]["scale"], jnp.float32),
@@ -81,13 +99,14 @@ class FastCLIPVisual:
     ``folded=`` a pre-computed/jitted ``fold_tree`` result."""
 
     def __init__(self, params: Dict[str, Any] = None, dtype=jnp.bfloat16, layers: int = 12,
-                 heads: int = 12, patch: int = 32, folded: Dict[str, Any] = None):
+                 heads: int = 12, patch: int = 32, folded: Dict[str, Any] = None,
+                 input_recipe: str = None):
         d = dtype
         self.dtype = d
         self.heads = heads
         self.patch = patch
         if folded is None:
-            folded = fold_tree(params, dtype, layers)
+            folded = fold_tree(params, dtype, layers, input_recipe)
         self.wpatch = folded["wpatch"]
         self.width = self.wpatch.shape[-1]
         self.cls = folded["cls"]
@@ -96,6 +115,10 @@ class FastCLIPVisual:
         self.ln_post = folded["ln_post"]
         self.proj = folded["proj"]
         self.blocks = folded["blocks"]
+        #: when bpatch is set the fold consumed a recipe and __call__
+        #: expects RAW uint8
+        self.input_recipe = input_recipe
+        self.bpatch = folded.get("bpatch")
 
     #: images stacked per attention matmul (block-diagonal -inf mask keeps
     #: per-image attention EXACT: exp(-inf)=0).  T=50 leaves the MXU's
@@ -149,6 +172,8 @@ class FastCLIPVisual:
         patches = x.astype(d).reshape(b, g, p, g, p, c).transpose(0, 1, 3, 2, 4, 5)
         patches = patches.reshape(b * g * g, p * p * c)
         tok = jnp.dot(patches, self.wpatch, preferred_element_type=jnp.float32)
+        if self.bpatch is not None:
+            tok = tok + self.bpatch
         tok = tok.reshape(b, g * g, self.width)
         cls = jnp.broadcast_to(self.cls, (b, 1, self.width))
         xt = jnp.concatenate([cls, tok.astype(jnp.float32)], axis=1) + self.pos

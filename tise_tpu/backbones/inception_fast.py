@@ -39,14 +39,22 @@ import numpy as np
 BN_EPS = 0.001
 
 
-def _fold(mod: Dict[str, Any], dtype) -> Tuple[jax.Array, jax.Array]:
+def _fold(mod: Dict[str, Any], dtype, in_scale=None, in_shift=None) -> Tuple[jax.Array, jax.Array]:
     """BasicConv2d params -> (BN-folded kernel [kh,kw,cin,cout] dtype,
-    bias row [1,cout] f32)."""
+    bias row [1,cout] f32).
+
+    ``in_scale``/``in_shift`` fold an input affine x = u*s + t (the uint8
+    normalize recipe) into the kernel/bias — exact algebra:
+    conv(u*s + t) = conv_{k*s}(u) + (sum_hw,i k*t)  (before the BN affine).
+    """
     w = jnp.asarray(mod["conv"]["kernel"], jnp.float32)
     inv = jnp.asarray(mod["bn_scale"], jnp.float32) * jax.lax.rsqrt(
         jnp.asarray(mod["bn_var"], jnp.float32) + BN_EPS
     )
     b = jnp.asarray(mod["bn_bias"], jnp.float32) - jnp.asarray(mod["bn_mean"], jnp.float32) * inv
+    if in_scale is not None:
+        b = b + jnp.einsum("hwio,i->o", w, jnp.asarray(in_shift, jnp.float32)) * inv
+        w = w * jnp.asarray(in_scale, jnp.float32)[None, None, :, None]
     return (w * inv).astype(dtype), b.reshape(1, 1, 1, -1)
 
 
@@ -64,13 +72,20 @@ def _max_pool(x, k=3, s=2, pad="VALID"):
     )
 
 
-def fold_tree(params: Dict[str, Any], dtype=jnp.bfloat16) -> Dict[str, Any]:
+def fold_tree(params: Dict[str, Any], dtype=jnp.bfloat16, input_recipe: str = None) -> Dict[str, Any]:
     """Pure params -> {"w": {name: (kernel, bias)}, "fc": (w, b)} folding.
 
     Jittable: ``jax.jit(partial(fold_tree, dtype=d))(params)`` turns the
     ~200 small folding ops into one compiled program — this matters through
     the axon tunnel, where eager per-op dispatch costs minutes of RTT.
+
+    ``input_recipe``: fold that uint8 normalize recipe (ops/preprocess
+    RECIPES) into Conv2d_1a — the forward then consumes RAW uint8 images,
+    skipping the normalized-tensor materialization (conv operands don't
+    take fused producers on TPU; measured ~0.3 ms/256-batch).
     """
+    from tise_tpu.ops.preprocess import RECIPES
+
     p = params["params"] if "params" in params else params
     f = functools.partial(_fold, dtype=dtype)
     w: Dict[str, Tuple[jax.Array, jax.Array]] = {}
@@ -80,7 +95,11 @@ def fold_tree(params: Dict[str, Any], dtype=jnp.bfloat16) -> Dict[str, Any]:
             fc = (jnp.asarray(mod["kernel"], jnp.float32).astype(dtype), jnp.asarray(mod["bias"], jnp.float32))
             continue
         if "conv" in mod:  # stem convs
-            w[name] = f(mod)
+            if name == "Conv2d_1a_3x3" and input_recipe is not None:
+                scale, shift = RECIPES[input_recipe]
+                w[name] = f(mod, in_scale=scale, in_shift=shift)
+            else:
+                w[name] = f(mod)
         else:  # Mixed_* blocks: one entry per branch conv
             for bname, bmod in mod.items():
                 w[f"{name}.{bname}"] = f(bmod)
@@ -91,12 +110,17 @@ class FastInception:
     """Pre-folded bf16 forward. ``params`` is the flax InceptionV3 tree (or
     pass ``folded=`` a pre-computed/jitted ``fold_tree`` result)."""
 
-    def __init__(self, params: Dict[str, Any] = None, dtype=jnp.bfloat16, folded: Dict[str, Any] = None):
+    def __init__(self, params: Dict[str, Any] = None, dtype=jnp.bfloat16, folded: Dict[str, Any] = None,
+                 input_recipe: str = None):
         self.dtype = dtype
         if folded is None:
-            folded = fold_tree(params, dtype)
+            folded = fold_tree(params, dtype, input_recipe)
         self.w = folded["w"]
         self.fc = folded["fc"]
+        #: informational: when the fold consumed a recipe, __call__ expects
+        #: RAW uint8 (the affine lives in the conv1a weights; strings cannot
+        #: ride a jitted fold_tree output)
+        self.input_recipe = input_recipe
 
     def _cat(self, names: Sequence[str]):
         """Concatenate folded 1x1 kernels/biases of several branches."""
@@ -119,9 +143,13 @@ class FastInception:
         """
         all_names = tuple(names) + ((pool_name,) if pool_name else ())
         w, b = self._cat(all_names)
+        # conv output stays in the compute dtype — an explicit f32 cast on the
+        # whole fan-out tensor invites XLA to materialize the f32 buffer
+        # (same measured anti-pattern as clip_fast's dense dots); the f32
+        # bias+relu epilogue below fuses per slice
         y = jax.lax.conv_general_dilated(
             x, w, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
-        ).astype(jnp.float32)
+        )
         sizes = [self.w[n][0].shape[-1] for n in all_names]
         offs = np.cumsum(sizes[:-1]).tolist()
         parts = jnp.split(y, offs, axis=-1)
@@ -129,12 +157,11 @@ class FastInception:
         off = 0
         for i, n in enumerate(names):
             bi = b[..., off : off + sizes[i]]
-            outs.append(jnp.maximum(parts[i] + bi, 0.0).astype(x.dtype))
+            outs.append(jnp.maximum(parts[i].astype(jnp.float32) + bi, 0.0).astype(x.dtype))
             off += sizes[i]
         if pool_name:
-            raw = parts[-1].astype(x.dtype)  # pre-bias, pre-relu
             s = jax.lax.reduce_window(
-                raw.astype(jnp.float32), 0.0, jax.lax.add, (1, 3, 3, 1), (1, 1, 1, 1),
+                parts[-1].astype(jnp.float32), 0.0, jax.lax.add, (1, 3, 3, 1), (1, 1, 1, 1),
                 ((0, 0), (1, 1), (1, 1), (0, 0)),
             )
             bp = jnp.maximum(s * (1.0 / 9.0) + b[..., off:], 0.0).astype(x.dtype)
