@@ -180,3 +180,35 @@ class TestSampling:
 
         rp = sampling.train_time_r_precision(ds, str(tmp_path), StubScorer(), batch_size=2)
         assert rp == 1.0
+
+
+class TestDistributedInit:
+    def test_single_process_distributed_bringup(self):
+        """init_distributed with an explicit localhost coordinator brings up
+        a 1-process jax.distributed cluster and the mesh builds over it
+        (multi-host DCN path, SURVEY.md section 2.3; run in a subprocess
+        because distributed init must precede first backend use)."""
+        import os
+        import socket
+        import subprocess
+        import sys
+
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        code = (
+            "import jax; jax.config.update('jax_platforms', 'cpu'); "
+            "from tise_tpu.parallel import init_distributed; "
+            f"init_distributed('127.0.0.1:{port}', 1, 0); "
+            "from tise_tpu.core.mesh import make_mesh; "
+            "m = make_mesh(); "
+            "print('DIST_OK', jax.process_count(), m.shape)"
+        )
+        env = {k: v for k, v in os.environ.items() if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            env=env, capture_output=True, text=True, timeout=300,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert "DIST_OK 1" in proc.stdout

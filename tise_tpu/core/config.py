@@ -120,6 +120,27 @@ def configure_precision(mode: str = "highest") -> None:
     jax.config.update("jax_default_matmul_precision", {"fast": "fastest", "highest": "highest"}[mode])
 
 
+def add_distributed_flags(parser) -> None:
+    """Multi-host flags (SURVEY.md section 2.3 DCN headroom): when
+    --coordinator is given, every participating process runs the same CLI
+    and the mesh spans all hosts — the statistic accumulators (FID moments,
+    IS predictions, detection sweeps) are psum-able so no other change is
+    needed."""
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="coordinator address host:port for multi-host runs (jax.distributed)")
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
+
+
+def maybe_init_distributed(args) -> None:
+    """Initialise jax.distributed iff --coordinator was passed (must run
+    before first backend use)."""
+    if getattr(args, "coordinator", None):
+        from tise_tpu.parallel import init_distributed
+
+        init_distributed(args.coordinator, args.num_processes, args.process_id)
+
+
 def add_precision_flag(parser) -> None:
     parser.add_argument(
         "--precision",

@@ -27,7 +27,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from tise_tpu.backbones import counter as counter_lib
 from tise_tpu.backbones.detection.coco_classes import COCO_CLASSES
 from tise_tpu.core import io as result_io
-from tise_tpu.core.config import add_precision_flag, configure_precision
+from tise_tpu.core.config import (add_distributed_flags, add_precision_flag,
+                                  configure_precision, maybe_init_distributed)
 from tise_tpu.core.data import load_image
 from tise_tpu.core.mesh import make_mesh
 from tise_tpu.ops.preprocess import normalize
@@ -119,8 +120,10 @@ def main(argv=None) -> None:
     p.add_argument("--weights", type=str, required=True, help="CountSeg coco14.pt or converted .npz")
     p.add_argument("--batch_size", type=int, default=32)
     add_precision_flag(p)
+    add_distributed_flags(p)
     args = p.parse_args(argv)
     configure_precision(args.precision)
+    maybe_init_distributed(args)
 
     params = counter_lib.load_counter_params(args.weights)
     engine = CountingEngine(params)

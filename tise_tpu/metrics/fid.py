@@ -22,7 +22,8 @@ import numpy as np
 
 from tise_tpu.backbones import inception_v3
 from tise_tpu.core import io as result_io
-from tise_tpu.core.config import add_precision_flag, configure_precision
+from tise_tpu.core.config import (add_distributed_flags, add_precision_flag,
+                                  configure_precision, maybe_init_distributed)
 from tise_tpu.core.data import ImageFolderLoader
 from tise_tpu.metrics.extractor import BatchedExtractor
 from tise_tpu.ops import sqrtm, stats
@@ -133,8 +134,10 @@ def main(argv=None) -> None:
         help="source image size; resize 299 happens on-device (fast path, ~PIL parity)",
     )
     add_precision_flag(p)
+    add_distributed_flags(p)
     args = p.parse_args(argv)
     configure_precision(args.precision)
+    maybe_init_distributed(args)
 
     params = None
     if not (args.path1.endswith(".npz") and args.path2.endswith(".npz")):

@@ -28,7 +28,9 @@ from typing import Tuple
 import numpy as np
 
 from tise_tpu.core import io as result_io
-from tise_tpu.core.config import add_precision_flag, configure_precision, IS_STAR_TEMPERATURE_COCO, IS_STAR_TEMPERATURE_CUB, NUM_SPLITS
+from tise_tpu.core.config import (add_distributed_flags, add_precision_flag,
+                                  configure_precision, maybe_init_distributed,
+                                  IS_STAR_TEMPERATURE_COCO, IS_STAR_TEMPERATURE_CUB, NUM_SPLITS)
 from tise_tpu.core.data import ImageFolderLoader
 from tise_tpu.metrics.extractor import BatchedExtractor
 from tise_tpu.ops import kl
@@ -85,8 +87,10 @@ def main(argv=None) -> None:
     p.add_argument("--gpu", type=int, default=0, help="ignored (TPU build)")
     p.add_argument("--weights", type=str, required=True, help="converted slim checkpoint (.npz)")
     add_precision_flag(p)
+    add_distributed_flags(p)
     args = p.parse_args(argv)
     configure_precision(args.precision)
+    maybe_init_distributed(args)
 
     extractor = _build_extractor(args.weights, args.flavor)
     mean, std = compute_is_star(

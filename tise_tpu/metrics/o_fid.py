@@ -12,7 +12,8 @@ from __future__ import annotations
 import argparse
 
 from tise_tpu.core import io as result_io
-from tise_tpu.core.config import add_precision_flag, configure_precision
+from tise_tpu.core.config import (add_distributed_flags, add_precision_flag,
+                                  configure_precision, maybe_init_distributed)
 from tise_tpu.metrics import fid as fid_metric
 
 
@@ -28,8 +29,10 @@ def main(argv=None) -> None:
     p.add_argument("--legacy-compat", action="store_true")
     p.add_argument("--sqrtm", type=str, default="scipy", choices=["scipy", "eigh", "ns", "ns-pallas"])
     add_precision_flag(p)
+    add_distributed_flags(p)
     args = p.parse_args(argv)
     configure_precision(args.precision)
+    maybe_init_distributed(args)
 
     params = None
     if not (args.path1.endswith(".npz") and args.path2.endswith(".npz")):

@@ -21,7 +21,9 @@ import numpy as np
 
 from tise_tpu.backbones import inception_v3
 from tise_tpu.core import io as result_io
-from tise_tpu.core.config import add_precision_flag, configure_precision, NUM_SPLITS, O_IS_TEMPERATURE
+from tise_tpu.core.config import (add_distributed_flags, add_precision_flag,
+                                  configure_precision, maybe_init_distributed,
+                                  NUM_SPLITS, O_IS_TEMPERATURE)
 from tise_tpu.core.data import ImageFolderLoader
 from tise_tpu.metrics.extractor import BatchedExtractor
 from tise_tpu.ops import kl
@@ -57,8 +59,10 @@ def main(argv=None) -> None:
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--weights", type=str, required=True, help="80-class fine-tuned inception (.pth/.npz)")
     add_precision_flag(p)
+    add_distributed_flags(p)
     args = p.parse_args(argv)
     configure_precision(args.precision)
+    maybe_init_distributed(args)
 
     from tise_tpu.core import weights as weights_io
 

@@ -21,7 +21,9 @@ import numpy as np
 
 from tise_tpu.backbones.clip_tokenizer import SimpleTokenizer
 from tise_tpu.core import io as result_io
-from tise_tpu.core.config import add_precision_flag, configure_precision, PA_SUCCESS_THRESHOLD
+from tise_tpu.core.config import (add_distributed_flags, add_precision_flag,
+                                  configure_precision, maybe_init_distributed,
+                                  PA_SUCCESS_THRESHOLD)
 from tise_tpu.core.data import center_crop_resize
 from tise_tpu.metrics.clip_scorer import ClipPairScorer
 
@@ -90,8 +92,10 @@ def main(argv=None) -> None:
     p.add_argument("--bpe_path", type=str, required=True)
     p.add_argument("--batch_size", type=int, default=64)
     add_precision_flag(p)
+    add_distributed_flags(p)
     args = p.parse_args(argv)
     configure_precision(args.precision)
+    maybe_init_distributed(args)
 
     from tise_tpu.backbones import clip_vit
 

@@ -23,7 +23,9 @@ import numpy as np
 
 from tise_tpu.backbones.clip_tokenizer import SimpleTokenizer
 from tise_tpu.core import io as result_io
-from tise_tpu.core.config import add_precision_flag, configure_precision, NUM_SPLITS
+from tise_tpu.core.config import (add_distributed_flags, add_precision_flag,
+                                  configure_precision, maybe_init_distributed,
+                                  NUM_SPLITS)
 from tise_tpu.core.data import center_crop_resize
 from tise_tpu.metrics.clip_scorer import ClipPairScorer
 
@@ -98,8 +100,10 @@ def main(argv=None) -> None:
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
     add_precision_flag(p)
+    add_distributed_flags(p)
     args = p.parse_args(argv)
     configure_precision(args.precision)
+    maybe_init_distributed(args)
 
     from tise_tpu.backbones import clip_vit
 

@@ -31,7 +31,9 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from tise_tpu.backbones import damsm
 from tise_tpu.core import io as result_io
-from tise_tpu.core.config import add_precision_flag, configure_precision, NUM_SPLITS
+from tise_tpu.core.config import (add_distributed_flags, add_precision_flag,
+                                  configure_precision, maybe_init_distributed,
+                                  NUM_SPLITS)
 from tise_tpu.core.data import load_image
 from tise_tpu.core.mesh import make_mesh
 from tise_tpu.ops.preprocess import normalize
@@ -198,8 +200,10 @@ def main(argv=None) -> None:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--legacy-compat", action="store_true")
     add_precision_flag(p)
+    add_distributed_flags(p)
     args = p.parse_args(argv)
     configure_precision(args.precision)
+    maybe_init_distributed(args)
 
     from tise_tpu.core import weights as weights_io
 
