@@ -13,6 +13,8 @@ signature).
 from __future__ import annotations
 
 import argparse
+
+from tise_tpu.core.config import add_distributed_flags, maybe_init_distributed
 import os
 from typing import Sequence
 
@@ -60,7 +62,9 @@ def main(argv=None) -> None:
                    help="detectron2 ResizeShortestEdge(800/1333) with static shape "
                         "buckets for non-square sources (default: square 800 resize, "
                         "exact for TISE's square generated images)")
+    add_distributed_flags(p)
     args = p.parse_args(argv)
+    maybe_init_distributed(args)
 
     from tise_tpu.backbones.detection import predictor as det
 

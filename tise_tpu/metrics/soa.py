@@ -29,6 +29,7 @@ from typing import Callable, Dict, List, Sequence, Tuple
 import numpy as np
 
 from tise_tpu.core import io as result_io
+from tise_tpu.core.config import add_distributed_flags, maybe_init_distributed
 
 #: detector output per image: ([class names], [class ids], [xyxy boxes])
 Detections = Tuple[List[str], List[int], List[np.ndarray]]
@@ -136,7 +137,9 @@ def main(argv=None) -> None:
                         "buckets for non-square sources (default: square 800 resize, "
                         "exact for TISE's square generated images)")
     p.add_argument("--skip_detection", action="store_true", help="aggregate cached pickles only")
+    add_distributed_flags(p)
     args = p.parse_args(argv)
+    maybe_init_distributed(args)
 
     if not args.skip_detection:
         from tise_tpu.backbones.detection import predictor as det
