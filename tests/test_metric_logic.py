@@ -211,3 +211,45 @@ class TestReliabilityDiagram:
         cli.main(["--validation_npz", str(npz), "--plot_prefix", str(tmp_path / "rd")])
         assert (tmp_path / "rd_before.png").exists()
         assert (tmp_path / "rd_after.png").exists()
+
+
+class TestFastScorerPaths:
+    """--precision fast routes: FID through FastInception, RP/PA image tower
+    through FastCLIPVisual — logits must agree with the f32 flax path to
+    bf16 tolerance (the metric defaults stay f32/highest)."""
+
+    def test_clip_scorer_fast_matches_flax(self):
+        import jax
+        import jax.numpy as jnp
+
+        from tise_tpu.backbones import clip_vit
+        from tise_tpu.metrics.clip_scorer import ClipPairScorer
+
+        params = clip_vit.random_params(jax.random.PRNGKey(0))
+        rng = np.random.RandomState(0)
+        imgs = rng.randint(0, 256, (2, 224, 224, 3)).astype(np.uint8)
+        toks = np.zeros((2, 3, 77), np.int32)
+        toks[:, :, 0] = 49406
+        toks[:, :, 1] = rng.randint(1, 400, (2, 3))
+        toks[:, :, 2] = 49407
+        ref = ClipPairScorer(params).logits(imgs, toks)
+        fast = ClipPairScorer(params, fast=True).logits(imgs, toks)
+        assert ref.shape == fast.shape == (2, 3)
+        scale = max(np.abs(ref).max(), 1e-6)
+        np.testing.assert_allclose(fast, ref, rtol=5e-2, atol=5e-2 * scale)
+
+    def test_fid_fast_extractor_matches_flax(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from tise_tpu.backbones import inception_v3
+        from tise_tpu.metrics import fid
+
+        params = inception_v3.random_params(jax.random.PRNGKey(0), num_classes=10)
+        rng = np.random.RandomState(0)
+        imgs = rng.randint(0, 256, (4, 299, 299, 3)).astype(np.uint8)
+        ref = fid.make_pool3_extractor(params)(imgs)["pool3"]
+        fast = fid.make_pool3_extractor(params, fast=True)(imgs)["pool3"]
+        ref, fast = np.asarray(ref, np.float32), np.asarray(fast, np.float32)
+        scale = max(np.abs(ref).max(), 1e-6)
+        np.testing.assert_allclose(fast, ref, rtol=5e-2, atol=5e-2 * scale)

@@ -117,7 +117,8 @@ def configure_precision(mode: str = "highest") -> None:
     """
     import jax
 
-    jax.config.update("jax_default_matmul_precision", {"fast": "fastest", "highest": "highest"}[mode])
+    # "default" = the TPU bf16-pass f32 matmul (this jax rejects "fastest")
+    jax.config.update("jax_default_matmul_precision", {"fast": "default", "highest": "highest"}[mode])
 
 
 def add_distributed_flags(parser) -> None:

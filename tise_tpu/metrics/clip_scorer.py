@@ -25,17 +25,32 @@ from tise_tpu.ops.preprocess import normalize
 class ClipPairScorer:
     """jit-compiled (images, token sets) -> per-item caption logits."""
 
-    def __init__(self, params, mesh: Optional[Mesh] = None, dtype=jnp.float32):
+    def __init__(self, params, mesh: Optional[Mesh] = None, dtype=jnp.float32, fast: bool = False):
+        """``fast=True`` routes the image tower through the bf16
+        FastCLIPVisual (backbones/clip_fast.py, pack-4 attention — the
+        throughput path; bf16-tolerance parity vs the flax tower); the text
+        tower (77-token, cheap) always stays the flax module."""
         self.mesh = mesh if mesh is not None else make_mesh()
         self.params = params
         model = clip_vit.CLIP(dtype=dtype)
         data = self.mesh.axis_names[0]
+        fast_visual = None
+        if fast:
+            from tise_tpu.backbones import clip_fast
+
+            fast_visual = clip_fast.FastCLIPVisual(
+                dtype=jnp.bfloat16,
+                folded=jax.jit(lambda p: clip_fast.fold_tree(p, jnp.bfloat16))(params),
+            )
 
         def fwd(p, images_u8, tokens):
             # images_u8: [B, 224, 224, 3]; tokens: [B, K, 77]
             b, k, t = tokens.shape
-            x = normalize(images_u8, "clip")
-            img = model.apply(p, x, method=model.encode_image)
+            x = normalize(images_u8, "clip", jnp.bfloat16 if fast_visual else jnp.float32)
+            if fast_visual is not None:
+                img = fast_visual(x).astype(jnp.float32)
+            else:
+                img = model.apply(p, x, method=model.encode_image)
             txt = model.apply(p, tokens.reshape(b * k, t), method=model.encode_text)
             txt = txt.reshape(b, k, -1)
             img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)

@@ -29,11 +29,32 @@ from tise_tpu.metrics.extractor import BatchedExtractor
 from tise_tpu.ops import sqrtm, stats
 
 
-def make_pool3_extractor(params, mesh=None, dtype=None, device_resize_from: int = 0) -> BatchedExtractor:
-    model = inception_v3.InceptionV3(dtype=dtype or jax.numpy.float32)
+def make_pool3_extractor(
+    params, mesh=None, dtype=None, device_resize_from: int = 0, fast: bool = False
+) -> BatchedExtractor:
+    """``fast=True`` routes the forward through the BN-folded bf16
+    FastInception (backbones/inception_fast.py — the 5k+ img/s/chip
+    extraction path, bf16-tolerance parity vs the flax module); the default
+    keeps the f32 flax module for reference float parity."""
+    if fast:
+        import jax.numpy as jnp
 
-    def apply_fn(p, x):
-        return model.apply(p, x, endpoints=("pool3",))
+        from tise_tpu.backbones import inception_fast
+
+        fast_model = inception_fast.FastInception(
+            dtype=jnp.bfloat16,
+            folded=jax.jit(lambda p: inception_fast.fold_tree(p, jnp.bfloat16))(params),
+        )
+
+        def apply_fn(p, x):  # folded weights ride the closure; p unused
+            out = fast_model(x, endpoints=("pool3",))
+            return {"pool3": out["pool3"].astype(jnp.float32)}
+
+    else:
+        model = inception_v3.InceptionV3(dtype=dtype or jax.numpy.float32)
+
+        def apply_fn(p, x):
+            return model.apply(p, x, endpoints=("pool3",))
 
     return BatchedExtractor(
         apply_fn,
@@ -88,10 +109,13 @@ def calculate_fid_given_paths(
     legacy_compat: bool = False,
     sqrtm_method: str = "scipy",
     device_resize_from: int = 0,
+    fast: bool = False,
 ) -> float:
     extractor = None
     if not (path1.endswith(".npz") and path2.endswith(".npz")):
-        extractor = make_pool3_extractor(params, mesh=mesh, device_resize_from=device_resize_from)
+        extractor = make_pool3_extractor(
+            params, mesh=mesh, device_resize_from=device_resize_from, fast=fast
+        )
     size = device_resize_from or 299
     m1, s1 = compute_statistics_of_path(
         path1, extractor, batch_size, legacy_compat=legacy_compat, host_image_size=size
@@ -150,6 +174,7 @@ def main(argv=None) -> None:
         legacy_compat=args.legacy_compat,
         sqrtm_method=args.sqrtm,
         device_resize_from=args.device_resize_from,
+        fast=args.precision == "fast",
     )
     if args.saved_file:
         result_io.write_fid_result(args.saved_file, fid_value)

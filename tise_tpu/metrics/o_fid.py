@@ -49,6 +49,7 @@ def main(argv=None) -> None:
         args.batch_size,
         legacy_compat=args.legacy_compat,
         sqrtm_method=args.sqrtm,
+        fast=args.precision == "fast",
     )
     if args.saved_file:
         result_io._write(args.saved_file, f"O-FID: {value}")

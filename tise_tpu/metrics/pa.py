@@ -100,7 +100,7 @@ def main(argv=None) -> None:
     from tise_tpu.backbones import clip_vit
 
     data = result_io.load_pickle(args.pa_input_file)
-    scorer = ClipPairScorer(clip_vit.load_params(args.weights))
+    scorer = ClipPairScorer(clip_vit.load_params(args.weights), fast=args.precision == "fast")
     tokenizer = SimpleTokenizer(args.bpe_path)
     pa, _ = compute_pa(data, args.image_dir, scorer, tokenizer, batch_size=args.batch_size)
     if args.saved_file_path is not None:

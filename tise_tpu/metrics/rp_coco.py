@@ -108,7 +108,7 @@ def main(argv=None) -> None:
     from tise_tpu.backbones import clip_vit
 
     rp_input = result_io.load_pickle(args.rp_input_file)
-    scorer = ClipPairScorer(clip_vit.load_params(args.weights))
+    scorer = ClipPairScorer(clip_vit.load_params(args.weights), fast=args.precision == "fast")
     tokenizer = SimpleTokenizer(args.bpe_path)
     mean, std, bin_scores = compute_rp(
         rp_input, args.image_dir, scorer, tokenizer, seed=args.seed, batch_size=args.batch_size
