@@ -43,39 +43,57 @@ BASELINE_IMAGES_PER_SEC = 5000.0
 
 def detector_images_per_sec(on_tpu: bool) -> float | None:
     """Static-shape Faster R-CNN sweep throughput (the SOA/O-metrics hot loop:
-    80 labels x ~30k images is the reference's longest pipeline).  Random
-    weights — identical compute to the real sweep.  Returns None on failure so
-    the primary metric line always prints."""
+    80 labels x ~30k images is the reference's longest pipeline).  Measures
+    the production fast path: bf16 trunk/heads with f32 score/box epilogues
+    (bf16-vs-f32 detection equivalence tested, tests/test_detection.py), the
+    single-gather multilevel ROIAlign, micro-batch 8 chained inside one
+    dispatch via lax.map + fori_loop so the tunnel's ~10 ms/dispatch tax
+    amortizes like the extraction bench.  Random weights — identical compute
+    to the real sweep.  Returns None on failure so the primary metric line
+    always prints."""
     try:
         from tise_tpu.backbones.detection.predictor import PIXEL_MEAN_BGR
         from tise_tpu.backbones.detection.rcnn import FasterRCNN
 
         size = 800 if on_tpu else 128
-        batch = 4 if on_tpu else 2
-        iters = 10 if on_tpu else 1
+        mb = 8 if on_tpu else 2
+        n_chunks = 2 if on_tpu else 1
+        chain = 4 if on_tpu else 1
+        iters = 5 if on_tpu else 1
+        dtype = jnp.bfloat16 if on_tpu else jnp.float32
+        batch = mb * n_chunks
         _mark("detector: init (jitted)")
-        model = FasterRCNN(dtype=jnp.float32)
-        params = jax.jit(lambda r: model.init(r, jnp.zeros((size, size, 3), jnp.float32)))(
+        model = FasterRCNN(dtype=dtype)
+        params = jax.jit(lambda r: model.init(r, jnp.zeros((size, size, 3), dtype)))(
             jax.random.PRNGKey(0)
         )
 
+        def single(p, img_u8):
+            x = (img_u8.astype(jnp.float32) - jnp.asarray(PIXEL_MEAN_BGR)).astype(dtype)
+            return model.apply(p, x)
+
         @jax.jit
-        def fwd(p, imgs_u8, seed):
-            x = jnp.bitwise_xor(imgs_u8, seed).astype(jnp.float32) - jnp.asarray(PIXEL_MEAN_BGR)
-            det = jax.vmap(lambda im: model.apply(p, im))(x)
-            return jnp.sum(det.scores.astype(jnp.float32))
+        def fwd(p, imgs_u8, seed0):
+            # imgs_u8: [n_chunks, mb, H, W, 3]; per-rep seed xor defeats the
+            # tunnel's result cache without re-uploading the batch
+            def rep(i, acc):
+                x = jnp.bitwise_xor(imgs_u8, (seed0 + i).astype(jnp.uint8))
+                det = jax.lax.map(lambda ch: jax.vmap(single, in_axes=(None, 0))(p, ch), x)
+                return acc + jnp.sum(det.scores.astype(jnp.float32))
+
+            return jax.lax.fori_loop(0, chain, rep, jnp.float32(0))
 
         host = np.random.RandomState(1)
-        imgs = jax.device_put(host.randint(0, 256, (batch, size, size, 3)).astype(np.uint8))
+        imgs = jax.device_put(host.randint(0, 256, (n_chunks, mb, size, size, 3)).astype(np.uint8))
         int(jax.jit(lambda x: jnp.sum(x, dtype=jnp.int32))(imgs))  # materialize upload
-        seeds = [jnp.uint8(i) for i in range(iters + 1)]
+        seeds = [jnp.uint8(i * chain) for i in range(iters + 1)]
         _mark("detector: compile+warm")
         float(fwd(params, imgs, seeds[0]))  # compile + warm
         _mark("detector: timing")
         t0 = time.perf_counter()
         outs = [fwd(params, imgs, s) for s in seeds[1:]]
         float(outs[-1])
-        return batch * iters / (time.perf_counter() - t0)
+        return batch * chain * iters / (time.perf_counter() - t0)
     except Exception as e:  # noqa: BLE001 — primary metric must still print
         _mark(f"detector bench failed: {type(e).__name__}: {e}")
         return None

@@ -100,6 +100,98 @@ class TestRoiAlign:
         np.testing.assert_allclose(out[0, :, :, 0], expected, rtol=1e-5)
 
 
+class TestRoiAlignMultilevel:
+    def test_matches_per_level_roi_align(self):
+        """The single-gather multilevel form must equal running roi_align on
+        each box's assigned level (the old 4x-traffic masked-select path)."""
+        rng = np.random.RandomState(0)
+        strides = (4, 8, 16, 32)
+        size = 128
+        feats = [
+            jnp.asarray(rng.randn(size // s, size // s, 16).astype(np.float32)) for s in strides
+        ]
+        n = 24
+        centers = rng.uniform(10, size - 10, (n, 2))
+        sizes = rng.uniform(4, 100, (n, 2))
+        boxes = jnp.asarray(
+            np.concatenate([centers - sizes / 2, centers + sizes / 2], 1).astype(np.float32)
+        )
+        levels = ops.assign_fpn_level(boxes)
+        got = np.asarray(ops.roi_align_multilevel(feats, boxes, levels, strides))
+        want = np.zeros_like(got)
+        lv = np.asarray(levels)
+        for lvl in range(2, 6):
+            r = np.asarray(ops.roi_align(feats[lvl - 2], boxes, strides[lvl - 2]))
+            want[lv == lvl] = r[lv == lvl]
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+class TestBf16Equivalence:
+    """bf16 fast forward vs f32: same detections (class match, IoU, score
+    tolerance).  Random init gives a flat ~1/81 softmax, so the classifier /
+    RPN weights are sharpened to produce confident, well-separated scores —
+    the regime real converted weights live in."""
+
+    def _sharpen(self, params):
+        import flax
+
+        p = flax.core.unfreeze(params) if hasattr(params, "unfreeze") else params
+        t = p["params"]
+        # confident classes, near-zero box deltas: detections are anchor-shaped
+        # well-formed boxes (random-magnitude deltas make degenerate slivers
+        # whose IoU is hypersensitive to rounding)
+        t["box_head"]["cls_score"]["kernel"] = t["box_head"]["cls_score"]["kernel"] * 12.0
+        t["box_head"]["bbox_pred"]["kernel"] = t["box_head"]["bbox_pred"]["kernel"] * 1e-3
+        t["rpn"]["objectness"]["kernel"] = t["rpn"]["objectness"]["kernel"] * 10.0
+        t["rpn"]["anchor_deltas"]["kernel"] = t["rpn"]["anchor_deltas"]["kernel"] * 1e-3
+        return p
+
+    def test_fast_path_matches_f32(self):
+        from tise_tpu.backbones.detection.rcnn import FasterRCNN
+
+        size = 128
+        rng = np.random.RandomState(3)
+        ys, xs = np.mgrid[0:size, 0:size].astype(np.float32)
+        img = np.zeros((size, size, 3), np.float32)
+        for _ in range(6):  # smooth blobs: structured activations, not noise
+            cy, cx = rng.uniform(0, size, 2)
+            s = rng.uniform(8, 30)
+            blob = np.exp(-((ys - cy) ** 2 + (xs - cx) ** 2) / (2 * s * s))
+            img += blob[..., None] * rng.uniform(50, 150, 3).astype(np.float32)
+        img -= img.mean()
+
+        m32 = FasterRCNN(dtype=jnp.float32)
+        m16 = FasterRCNN(dtype=jnp.bfloat16)
+        params = self._sharpen(m32.init(jax.random.PRNGKey(0), jnp.zeros((size, size, 3))))
+        det32 = jax.jit(m32.apply)(params, jnp.asarray(img))
+        det16 = jax.jit(m16.apply)(params, jnp.asarray(img))
+
+        def rows(det):
+            return [
+                (int(det.classes[i]), np.asarray(det.boxes[i]), float(det.scores[i]))
+                for i in range(det.valid.shape[0])
+                if bool(det.valid[i])
+            ]
+
+        r32, r16 = rows(det32), rows(det16)
+        assert len(r32) > 0, "sharpened random weights produced no detections"
+
+        def matched(a, b):
+            hits = 0
+            for ca, ba, sa in a:
+                for cb, bb, sb in b:
+                    if ca != cb or abs(sa - sb) > 0.05:
+                        continue
+                    iou = float(np.asarray(ops.box_iou(jnp.asarray(ba[None]), jnp.asarray(bb[None])))[0, 0])
+                    if iou > 0.85:
+                        hits += 1
+                        break
+            return hits / max(len(a), 1)
+
+        assert matched(r32, r16) >= 0.9
+        assert matched(r16, r32) >= 0.9
+
+
 class TestEndToEnd:
     def test_folder_predictor_smoke(self, tmp_path):
         """Random-weight Faster R-CNN over a 2-image folder at a small static

@@ -74,23 +74,37 @@ def box_iou(a: jax.Array, b: jax.Array) -> jax.Array:
 def nms_mask(boxes: jax.Array, scores: jax.Array, iou_threshold: float) -> jax.Array:
     """Greedy NMS over score-DESCENDING-sorted inputs -> bool keep mask.
 
-    Static O(K^2): precompute the IoU matrix, then a fori_loop marks
-    suppression exactly like the sequential greedy algorithm (a kept box
-    suppresses later overlapping boxes; a suppressed box suppresses nothing).
-    Invalid rows must carry scores of -inf (they never suppress since they
-    sort last and everything earlier already handled them).
+    Exact greedy semantics via fixpoint iteration instead of a K-step
+    sequential loop: ``keep`` is the unique solution of the well-founded
+    recursion ``keep[j] = not any(i < j and keep[i] and iou[i, j] > t)``.
+    Iterating ``keep <- recursion(keep)`` from all-true makes every entry
+    whose suppression-chain depth is <= t correct after t rounds (induction
+    on depth), so a while_loop to stability yields exactly the sequential
+    greedy result in O(chain depth) matrix steps — typically < 10 rounds for
+    1000 boxes vs 1000 sequential fori_loop iterations (the former hot-loop
+    cost on TPU, where each tiny loop step pays dispatch latency).
+    Equivalence vs the sequential algorithm is tested
+    (tests/test_detection.py).  Invalid rows must carry scores of -inf (they
+    sort last; any suppression they'd do is irrelevant since everything
+    earlier outranks them — and -inf rows have zero-area IoU 0 anyway).
     """
     k = boxes.shape[0]
     iou = box_iou(boxes, boxes)
-    over = iou > iou_threshold
-    idx = jnp.arange(k)
+    # strictly-upper-triangular overlap: i suppresses j only if i ranks higher
+    over = (iou > iou_threshold) & (jnp.arange(k)[:, None] < jnp.arange(k)[None, :])
 
-    def body(i, suppressed):
-        row = over[i] & (idx > i)
-        return jnp.where(suppressed[i], suppressed, suppressed | row)
+    def cond(state):
+        keep, prev, it = state
+        return jnp.any(keep != prev) & (it < k)
 
-    suppressed = jax.lax.fori_loop(0, k, body, jnp.zeros((k,), bool))
-    return ~suppressed
+    def body(state):
+        keep, _, it = state
+        new = ~jnp.any(over & keep[:, None], axis=0)
+        return new, keep, it + 1
+
+    init = jnp.ones((k,), bool)
+    keep, _, _ = jax.lax.while_loop(cond, body, (init, jnp.zeros((k,), bool), 0))
+    return keep
 
 
 def topk_sorted(scores: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
@@ -150,6 +164,78 @@ def roi_align(
     s = sampling
     vals = vals.reshape(n, out_size, s, out_size, s, c)
     return jnp.mean(vals, axis=(2, 4))
+
+
+def roi_align_multilevel(
+    feats: Sequence[jax.Array],
+    boxes: jax.Array,
+    levels: jax.Array,
+    strides: Sequence[int] = (4, 8, 16, 32),
+    out_size: int = 7,
+    sampling: int = 2,
+) -> jax.Array:
+    """ROIAlign across FPN levels with ONE gather on a concatenated buffer.
+
+    feats: list of [H_l, W_l, C] maps (P2..P5); boxes [N, 4] xyxy in image
+    coordinates; levels [N] int32 in [2, 5] (``assign_fpn_level``).  Output
+    [N, out, out, C] numerically identical to running ``roi_align`` per box
+    on its assigned level (tested), but the per-level form computes the full
+    [N, S, S, C] gather on EVERY level and masks (4x the HBM traffic of the
+    useful work — ~3 GB/image at 800 px f32); here each sample index is
+    offset into the level's slice of one flattened buffer, so exactly one
+    4-corner gather runs.  Interpolation coordinates/weights are computed in
+    f32 and cast to the feature dtype for the multiply, keeping the bf16
+    fast path's intermediates half-width.
+    """
+    c = feats[0].shape[-1]
+    hs = np.asarray([f.shape[0] for f in feats], np.int32)
+    ws = np.asarray([f.shape[1] for f in feats], np.int32)
+    offs = np.concatenate([[0], np.cumsum(hs.astype(np.int64) * ws)]).astype(np.int32)
+    flat = jnp.concatenate([f.reshape(-1, c) for f in feats], axis=0)
+    li = jnp.clip(levels - 2, 0, len(feats) - 1)
+    inv_stride = jnp.asarray(1.0 / np.asarray(strides, np.float32))[li]  # [N]
+    h_n = jnp.asarray(hs)[li]
+    w_n = jnp.asarray(ws)[li]
+    off_n = jnp.asarray(offs[:-1])[li]
+
+    b32 = boxes.astype(jnp.float32)
+    x1 = b32[:, 0] * inv_stride - 0.5
+    y1 = b32[:, 1] * inv_stride - 0.5
+    x2 = b32[:, 2] * inv_stride - 0.5
+    y2 = b32[:, 3] * inv_stride - 0.5
+    bw = jnp.maximum(x2 - x1, 1e-6)
+    bh = jnp.maximum(y2 - y1, 1e-6)
+    s = out_size * sampling
+    grid = (jnp.arange(s, dtype=jnp.float32) + 0.5) / sampling  # in bin units
+    ys = y1[:, None] + bh[:, None] * grid[None, :] / out_size  # [N, S]
+    xs = x1[:, None] + bw[:, None] * grid[None, :] / out_size
+
+    def bilinear(coords, size):
+        hi = (size - 1).astype(jnp.float32)[:, None]
+        c0 = jnp.clip(jnp.floor(coords), 0.0, hi)
+        c1 = jnp.clip(c0 + 1, 0.0, hi)
+        frac = jnp.clip(coords - c0, 0.0, 1.0)
+        return c0.astype(jnp.int32), c1.astype(jnp.int32), frac
+
+    y0, y1i, fy = bilinear(ys, h_n)
+    x0, x1i, fx = bilinear(xs, w_n)
+
+    base = off_n[:, None, None]
+    wrow = w_n[:, None, None]
+    iy0, iy1 = y0[:, :, None], y1i[:, :, None]  # [N, S, 1]
+    ix0, ix1 = x0[:, None, :], x1i[:, None, :]  # [N, 1, S]
+    wd = flat.dtype
+    wy0, wy1 = (1 - fy).astype(wd)[:, :, None, None], fy.astype(wd)[:, :, None, None]
+    wx0, wx1 = (1 - fx).astype(wd)[:, None, :, None], fx.astype(wd)[:, None, :, None]
+    vals = (
+        flat[base + iy0 * wrow + ix0] * (wy0 * wx0)
+        + flat[base + iy0 * wrow + ix1] * (wy0 * wx1)
+        + flat[base + iy1 * wrow + ix0] * (wy1 * wx0)
+        + flat[base + iy1 * wrow + ix1] * (wy1 * wx1)
+    )  # [N, S_y, S_x, C]
+    n = boxes.shape[0]
+    vals = vals.reshape(n, out_size, sampling, out_size, sampling, c)
+    return jnp.mean(vals.astype(jnp.float32), axis=(2, 4)).astype(wd)
 
 
 def assign_fpn_level(boxes: jax.Array, k_min: int = 2, k_max: int = 5, canonical: float = 224.0) -> jax.Array:

@@ -25,6 +25,7 @@ thread pool decodes and resizes ahead of the device.
 from __future__ import annotations
 
 import math
+import warnings
 from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
@@ -89,7 +90,9 @@ def load_bgr_image_bucketed(
         bh, bw = buckets[bi]
         if rh > bh or rw > bw:  # extreme aspect ratio: shrink into the bucket
             fit = min(bh / rh, bw / rw)
-            rh, rw = int(rh * fit), int(rw * fit)
+            # round like every other resize here (truncation would bias the
+            # oh/rh box rescale factor) and clamp into the bucket
+            rh, rw = min(int(round(rh * fit)), bh), min(int(round(rw * fit)), bw)
         rgb = np.asarray(im.resize((rw, rh), Image.BILINEAR), np.uint8)
     canvas = np.zeros((bh, bw, 3), np.uint8)
     canvas[:rh, :rw] = rgb[:, :, ::-1]
@@ -109,58 +112,86 @@ class TPUDetector:
         aspect_buckets: Optional[Sequence[Tuple[int, int]]] = None,
         aspect_short: int = SHORT_EDGE,
         aspect_max: int = MAX_SIZE,
+        micro_batch: Optional[int] = None,
+        score_thresh: float = 0.5,
     ):
         """``aspect_buckets``: enable detectron2-parity aspect-preserving
         resize (ResizeShortestEdge 800/1333) with zero-padding to one of the
         given static (h, w) buckets and true-extent box clipping.  Default
         ``None`` keeps the square resize — exact for TISE's square generated
-        images and one compiled program instead of len(buckets)."""
+        images and one compiled program instead of len(buckets).
+
+        ``micro_batch``: images per device step.  One dispatch processes the
+        whole ``batch_size`` as a lax.map chain of batch_size/micro_batch
+        vmapped steps — amortizing per-dispatch overhead (the axon tunnel
+        taxes every execution ~10 ms) while the micro-batch bounds the ROI
+        gather's peak memory.  ``dtype=jnp.bfloat16`` selects the fast
+        forward (f32 score/box epilogues; see FasterRCNN)."""
         base = mesh if mesh is not None else make_mesh()
         data_axis = base.axis_names[0]
         dp = base.shape[data_axis]
-        if batch_size % dp:
-            # the jitted batch must divide evenly over the data axis: shrink to
-            # a sub-mesh rather than silently inflating the caller's batch
-            dp = math.gcd(batch_size, dp)
-            base = Mesh(np.asarray(base.devices).reshape(-1)[:dp].reshape(dp, 1), base.axis_names)
+        mb = micro_batch if micro_batch is not None else min(batch_size, 8)
+        mb = math.gcd(batch_size, mb)  # chain length must be integral
+        if mb % dp:
+            # the jitted micro-batch must divide evenly over the data axis:
+            # shrink to a sub-mesh rather than silently inflating the batch
+            new_dp = math.gcd(mb, dp)
+            warnings.warn(
+                f"TPUDetector: micro_batch {mb} does not divide over the {dp}-device "
+                f"'{data_axis}' axis; falling back to a {new_dp}-device sub-mesh "
+                "(pass a batch_size/micro_batch divisible by the device count to "
+                "use every device)",
+                stacklevel=2,
+            )
+            shape = [new_dp] + [1] * (len(base.axis_names) - 1)
+            base = Mesh(np.asarray(base.devices).reshape(-1)[:new_dp].reshape(shape), base.axis_names)
         self.mesh = base
         self.batch_size = batch_size
+        self.micro_batch = mb
+        self._n_chunks = batch_size // mb
         self.input_size = input_size
-        model = FasterRCNN(dtype=dtype)
+        model = FasterRCNN(dtype=dtype, score_thresh=score_thresh)
         if weights_path:
             params = load_detectron2_pkl(weights_path)
         else:  # random init (tests / smoke)
             params = model.init(jax.random.PRNGKey(0), jnp.zeros((input_size, input_size, 3), dtype))
 
-        def single(p, img_u8_bgr):
-            x = img_u8_bgr.astype(dtype) - jnp.asarray(PIXEL_MEAN_BGR, dtype)
-            return model.apply(p, x)
+        def single(p, img_u8_bgr, valid_hw=None):
+            # mean-subtract in f32 BEFORE the compute-dtype cast: bf16 can
+            # represent uint8 exactly but not 103.53-shifted values well
+            x = (img_u8_bgr.astype(jnp.float32) - jnp.asarray(PIXEL_MEAN_BGR)).astype(dtype)
+            return model.apply(p, x) if valid_hw is None else model.apply(p, x, valid_hw)
 
-        self._batch_sharding = NamedSharding(self.mesh, P(data_axis, None, None, None))
+        def chained(fn):
+            def fwd(p, *chunked):  # leading [n_chunks, mb, ...] axes
+                det = jax.lax.map(lambda args: fn(p, *args), chunked)
+                return jax.tree.map(lambda a: a.reshape((-1,) + a.shape[2:]), det)
+
+            return fwd
+
+        self._batch_sharding = NamedSharding(self.mesh, P(None, data_axis, None, None, None))
+        self._hw_sharding = NamedSharding(self.mesh, P(None, data_axis, None))
+        rep = NamedSharding(self.mesh, P())
+        out = NamedSharding(self.mesh, P(data_axis))
         self._fwd = jax.jit(
-            jax.vmap(single, in_axes=(None, 0)),
-            in_shardings=(NamedSharding(self.mesh, P()), self._batch_sharding),
-            out_shardings=NamedSharding(self.mesh, P(data_axis)),
+            chained(jax.vmap(single, in_axes=(None, 0))),
+            in_shardings=(rep, self._batch_sharding),
+            out_shardings=out,
         )
         self.params = params
         self.aspect_buckets = tuple(aspect_buckets) if aspect_buckets else None
         self.aspect_short = aspect_short
         self.aspect_max = aspect_max
 
-        def single_hw(p, img_u8_bgr, valid_hw):
-            x = img_u8_bgr.astype(dtype) - jnp.asarray(PIXEL_MEAN_BGR, dtype)
-            return model.apply(p, x, valid_hw)
-
         # one compiled program per bucket shape, shared weights
         self._fwd_hw = jax.jit(
-            jax.vmap(single_hw, in_axes=(None, 0, 0)),
-            in_shardings=(
-                NamedSharding(self.mesh, P()),
-                self._batch_sharding,
-                NamedSharding(self.mesh, P(data_axis, None)),
-            ),
-            out_shardings=NamedSharding(self.mesh, P(data_axis)),
+            chained(jax.vmap(single, in_axes=(None, 0, 0))),
+            in_shardings=(rep, self._batch_sharding, self._hw_sharding),
+            out_shardings=out,
         )
+
+    def _chunked(self, arr: np.ndarray) -> np.ndarray:
+        return arr.reshape((self._n_chunks, self.micro_batch) + arr.shape[1:])
 
     def detect_batch(self, images_u8_bgr: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
         """[B, 800, 800, 3] BGR uint8 -> (boxes, scores, classes, valid).
@@ -168,7 +199,7 @@ class TPUDetector:
         B must equal ``self.batch_size`` (a multiple of the mesh's data axis);
         ``detect_files`` pads the tail chunk up to it.
         """
-        det = self._fwd(self.params, jax.device_put(images_u8_bgr, self._batch_sharding))
+        det = self._fwd(self.params, jax.device_put(self._chunked(images_u8_bgr), self._batch_sharding))
         return (
             np.asarray(det.boxes),
             np.asarray(det.scores),
@@ -233,8 +264,8 @@ class TPUDetector:
                         hw = np.concatenate([hw, np.ones((npad, 2), np.float32)])
                     det = self._fwd_hw(
                         self.params,
-                        jax.device_put(imgs, self._batch_sharding),
-                        jax.device_put(hw, NamedSharding(self.mesh, P(self.mesh.axis_names[0], None))),
+                        jax.device_put(self._chunked(imgs), self._batch_sharding),
+                        jax.device_put(self._chunked(hw), self._hw_sharding),
                     )
                     b, s, c, v = (np.asarray(det.boxes), np.asarray(det.scores),
                                   np.asarray(det.classes), np.asarray(det.valid))
@@ -279,11 +310,21 @@ class TPUDetector:
 
 
 def make_folder_detector(
-    weights_path: Optional[str], batch_size: int = 4, aspect_resize: bool = False
+    weights_path: Optional[str],
+    batch_size: Optional[int] = None,
+    aspect_resize: bool = False,
+    precision: str = "highest",
 ) -> Callable:
+    """``precision='fast'`` selects the bf16 forward (f32 epilogues,
+    detection-equivalent within score tolerance — tests/test_detection.py)
+    and a larger default batch; 'highest' keeps full f32."""
+    fast = precision == "fast"
+    if batch_size is None:
+        batch_size = 32 if fast else 4
     det = TPUDetector(
         weights_path,
         batch_size=batch_size,
+        dtype=jnp.bfloat16 if fast else jnp.float32,
         aspect_buckets=DEFAULT_BUCKETS if aspect_resize else None,
     )
     return det.detect_files

@@ -129,9 +129,18 @@ def postprocess_detections(
 
 
 class FasterRCNN(nn.Module):
-    """Backbone + RPN + ROI box head; single-image static-shape inference."""
+    """Backbone + RPN + ROI box head; single-image static-shape inference.
+
+    ``dtype=jnp.bfloat16`` is the fast path: trunk/FPN/RPN/head matmuls run
+    bf16 on the MXU with all score/box math (proposal decode, NMS, softmax,
+    box regression) in f32 epilogues — detection-equivalence vs f32 is
+    tested (tests/test_detection.py).  ``score_thresh`` mirrors detectron2's
+    cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST (0.5 on the reference configs,
+    crop_object.py:20).
+    """
 
     dtype: Any = jnp.float32
+    score_thresh: float = 0.5
 
     def setup(self):
         self.backbone = ResNet50(dtype=self.dtype)
@@ -176,16 +185,16 @@ class FasterRCNN(nn.Module):
         proposals = boxes[idx]  # [K, 4]
         prop_valid = jnp.isfinite(prop_scores)
 
-        # ---- ROI align over FPN levels (compute per level, select by mask) ----
+        # ---- ROI align over FPN levels (one gather on the level-concat buffer) ----
         levels = ops.assign_fpn_level(proposals)
-        roi = jnp.zeros((k, 7, 7, 256), self.dtype)
-        for lvl in range(2, 6):
-            r = ops.roi_align(feats[lvl - 2][0], proposals, STRIDES[lvl - 2])
-            roi = jnp.where((levels == lvl)[:, None, None, None], r.astype(self.dtype), roi)
+        roi = ops.roi_align_multilevel(
+            [feats[lvl - 2][0] for lvl in range(2, 6)], proposals, levels, STRIDES[:4]
+        ).astype(self.dtype)
 
         # ---- box head + per-class decode + NMS (shared postprocess) ----
         cls_logits, box_deltas = self.box_head(roi)
         clip_hw = None if valid_hw is None else (vh, vw)
         return postprocess_detections(
-            proposals, prop_valid, cls_logits, box_deltas, h, w, clip_hw=clip_hw
+            proposals, prop_valid, cls_logits, box_deltas, h, w,
+            score_thresh=self.score_thresh, clip_hw=clip_hw,
         )

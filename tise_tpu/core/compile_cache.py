@@ -16,17 +16,27 @@ import platform
 
 
 def machine_key() -> str:
-    bits = [platform.machine(), platform.processor()]
+    """Fingerprint of everything XLA:CPU specialises AOT executables on.
+
+    The r02 multichip dryrun showed that model-name + one flags line is NOT
+    enough: a cache written under a different kernel (same CPU model) loaded
+    with mismatched LLVM target features ("could lead to SIGILL").  LLVM
+    reads CPUID directly while /proc/cpuinfo filters through the kernel's
+    known-flag table, so the kernel release and the full cpu
+    family/model/stepping/microcode tuple are part of the key, plus every
+    DISTINCT flags/model-name line (heterogeneous cores).  TISE_TPU_CACHE_SALT
+    force-busts the cache if a mismatch warning ever still appears."""
+    bits = {platform.machine(), platform.processor(), platform.release(),
+            os.environ.get("TISE_TPU_CACHE_SALT", "")}
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("model name", "flags")):
-                    bits.append(line.strip())
-                    if len(bits) >= 4:
-                        break
+                if line.startswith(("model name", "flags", "cpu family", "model\t",
+                                    "model ", "stepping", "microcode")):
+                    bits.add(line.strip())
     except OSError:
         pass
-    return hashlib.sha256("|".join(bits).encode()).hexdigest()[:12]
+    return hashlib.sha256("|".join(sorted(bits)).encode()).hexdigest()[:12]
 
 
 def cache_dir() -> str:

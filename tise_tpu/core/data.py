@@ -9,7 +9,7 @@ Folder conventions match the reference:
 
 Decoding and the *exact* PIL resize happen on host worker threads (PIL's
 convolution resampling is the reference-parity resize — see
-tise_tpu/ops/resize.py for the device-side approximation); normalization is
+tise_tpu/ops/preprocess.py for the device-side approximation); normalization is
 fused into the device-side forward.  Batches are produced at static shapes
 (pad + mask) so every step hits the same XLA executable.
 """

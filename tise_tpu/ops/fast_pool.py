@@ -41,6 +41,8 @@ def _edge_inv(n: int, include_pad: bool) -> np.ndarray:
     if not include_pad and n >= 1:
         c[0] = 0.5
         c[-1] = 0.5
+        if n == 1:  # single in-bounds tap: both "edges" are the same element
+            c[0] = 1.0
     return c
 
 
