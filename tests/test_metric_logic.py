@@ -4,6 +4,8 @@ formats)."""
 
 import os
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 from PIL import Image
@@ -136,6 +138,39 @@ class TestCaLogic:
         density[0, 2] = 0.4  # rounds to 0
         counts = predict_counts(conf, density)
         np.testing.assert_array_equal(counts[0], [2, 0, 0])
+
+    def test_peak_stimulation_matches_torch_prm(self):
+        """Transcription oracle for PRM's PeakStimulation.forward (the
+        published algorithm CountSeg's peak stimulation builds on): -inf
+        padded 3x3 max_pool argmax == self, median peak filter with torch's
+        lower-middle order statistic, mean aggregation over peaks.  Random
+        float maps are tie-free, where the jax form is exactly torch's."""
+        import torch
+        import torch.nn.functional as F
+
+        from tise_tpu.backbones.counter import peak_stimulation
+
+        rng = np.random.RandomState(7)
+        crm = rng.randn(2, 5, 14, 14).astype(np.float32) * 3
+
+        # --- pure-torch PRM transcription ---
+        t = torch.from_numpy(crm)
+        win_size, offset = 3, 1
+        padded = torch.nn.ConstantPad2d(offset, float("-inf"))(t)
+        b, c, h, w = padded.size()
+        element_map = torch.arange(0, h * w).long().view(1, 1, h, w)[
+            :, :, offset:-offset, offset:-offset
+        ]
+        _, indices = F.max_pool2d(padded, kernel_size=win_size, stride=1, return_indices=True)
+        peak_map = indices == element_map
+        threshold = torch.median(t.view(2, 5, -1), dim=2).values.view(2, 5, 1, 1)
+        peak_map = peak_map & (t >= threshold)
+        pm = peak_map.float()
+        want_conf = (t * pm).view(2, 5, -1).sum(2) / pm.view(2, 5, -1).sum(2)
+
+        got_conf, got_mask = jax.jit(peak_stimulation)(jnp.asarray(crm))
+        np.testing.assert_array_equal(np.asarray(got_mask), peak_map.numpy())
+        np.testing.assert_allclose(np.asarray(got_conf), want_conf.numpy(), rtol=1e-5)
 
 
 class TestCalibration:

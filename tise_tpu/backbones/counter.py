@@ -8,15 +8,22 @@ sub_pixel_locating_factor=1)``, weights ``coco14.pt``) and derives counts as
 (CA.py:151-166).
 
 TPU reconstruction ("Object Counting and Instance Segmentation with
-Image-level Supervision", Cholakkal et al. CVPR'19): a torchvision-style
-ResNet50 trunk, a 1x1 conv producing 240 = 80 classes x 3 maps (class
-response / density / auxiliary), class confidence by peak stimulation (mean
-response over 3x3 local maxima of the class response map), density integrated
-by spatial mean.  The reference needs input gradients only for PRM's
-peak-backprop *visualisation*; counting is forward-only, so the TPU path has
-no grad requirement.  The per-class-map split order is configurable
-(``head_order``) since it is a checkpoint-layout convention; the converter
-maps the coco14.pt trunk tensors 1:1 by shape.
+Image-level Supervision", Cholakkal et al. CVPR'19, which builds on PRM,
+"Weakly Supervised Instance Segmentation using Class Peak Response", Zhou et
+al. CVPR'18): a torchvision-style ResNet50 trunk, a 1x1 conv producing
+240 = 3 contiguous blocks of 80 per-class maps (torch head code slices
+blocks, ``maps[:, :C]`` / ``maps[:, C:2C]``): class response maps, density
+maps, and an auxiliary block unused by CA.py's count rule.  Class confidence
+uses PRM's published peak stimulation *exactly* (``peak_stimulation`` below,
+transcription-oracle-tested against a pure-torch PRM PeakStimulation in
+tests/test_metric_logic.py): peaks are 3x3-window local maxima filtered by
+the per-class spatial median, confidence is the mean response over peaks.
+Density integrates by spatial mean (CA.py:152 adaptive_avg_pool2d).  The
+reference needs input gradients only for PRM's peak-backprop
+*visualisation*; counting is forward-only, so the TPU path has no grad
+requirement.  ``head_order`` selects which 80-wide block is CRM vs density —
+a coco14.pt layout convention validated at conversion time against real
+weights (tools/parity_check.py); the converter maps the trunk tensors 1:1.
 """
 
 from __future__ import annotations
@@ -34,11 +41,48 @@ NUM_CLASSES = 80
 MAPS_PER_CLASS = 3
 
 
+def peak_stimulation(
+    crm: jax.Array, win_size: int = 3, median_filter: bool = True
+) -> Tuple[jax.Array, jax.Array]:
+    """PRM peak stimulation (PRM pytorch PeakStimulation.forward, defaults
+    win_size=3, peak_filter=median): crm [B, C, H, W] -> (confidence [B, C],
+    peak_mask [B, C, H, W]).
+
+    A position is a peak when it is the maximum of the ``win_size`` window
+    centred on it (out-of-bounds taps are -inf, matching torch's
+    ConstantPad2d(-inf) + max_pool2d) AND its response is >= the per-class
+    spatial median (torch.median = the lower middle order statistic, index
+    ``(n-1)//2``, NOT numpy's midpoint mean — reproduced exactly).
+    Confidence is the mean response over peaks.  The sole departure from the
+    torch form: on *exact float ties* inside one window torch's
+    return_indices argmax keeps only the first (row-major) tied element,
+    while this marks all tied maxima — conv-output maps have no exact ties,
+    and the transcription oracle (tests/test_metric_logic.py) checks
+    tie-free equality to torch.
+    """
+    f32 = crm.astype(jnp.float32)
+    win = jax.lax.reduce_window(
+        f32, -jnp.inf, jax.lax.max, (1, 1, win_size, win_size), (1, 1, 1, 1), "SAME"
+    )
+    peak_mask = f32 >= win
+    if median_filter:
+        b, c, h, w = crm.shape
+        flat = jnp.sort(f32.reshape(b, c, h * w), axis=-1)
+        threshold = flat[..., (h * w - 1) // 2][..., None, None]
+        peak_mask = peak_mask & (f32 >= threshold)
+    fmask = peak_mask.astype(jnp.float32)
+    # the global max is always a peak (it is its window's max and >= median),
+    # so the count is >= 1; the maximum guard only shields all--inf inputs
+    n_peaks = jnp.maximum(jnp.sum(fmask, axis=(2, 3)), 1.0)
+    confidence = jnp.sum(f32 * fmask, axis=(2, 3)) / n_peaks
+    return confidence.astype(crm.dtype), peak_mask
+
+
 class FCResNet50PRM(nn.Module):
-    """ResNet50 -> 1x1 conv (240) -> (class response, density) heads."""
+    """ResNet50 -> 1x1 conv (240) -> (class response, density) block heads."""
 
     dtype: Any = jnp.float32
-    head_order: Tuple[int, int] = (0, 1)  # (class-response slot, density slot)
+    head_order: Tuple[int, int] = (0, 1)  # (class-response block, density block)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -46,18 +90,11 @@ class FCResNet50PRM(nn.Module):
         density [B, 80, h, w])."""
         feats = ResNet50(dtype=self.dtype, name="backbone")(x)["res5"]  # [B, 14, 14, 2048]
         maps = nn.Conv(NUM_CLASSES * MAPS_PER_CLASS, (1, 1), dtype=self.dtype, name="classifier")(feats)
-        b, h, w, _ = maps.shape
-        maps = maps.reshape(b, h, w, NUM_CLASSES, MAPS_PER_CLASS)
-        crm = maps[..., self.head_order[0]].transpose(0, 3, 1, 2)  # [B, 80, h, w]
-        density = maps[..., self.head_order[1]].transpose(0, 3, 1, 2)
-
-        # peak stimulation: responses at 3x3 local maxima, averaged
-        win = jax.lax.reduce_window(
-            crm, -jnp.inf, jax.lax.max, (1, 1, 3, 3), (1, 1, 1, 1), "SAME"
-        )
-        peak_mask = (crm >= win).astype(crm.dtype)
-        n_peaks = jnp.maximum(jnp.sum(peak_mask, axis=(2, 3)), 1.0)
-        confidence = jnp.sum(crm * peak_mask, axis=(2, 3)) / n_peaks  # [B, 80]
+        maps = maps.transpose(0, 3, 1, 2)  # [B, 240, h, w]
+        c0, c1 = self.head_order
+        crm = maps[:, c0 * NUM_CLASSES : (c0 + 1) * NUM_CLASSES]  # [B, 80, h, w]
+        density = maps[:, c1 * NUM_CLASSES : (c1 + 1) * NUM_CLASSES]
+        confidence, _ = peak_stimulation(crm)
         return confidence, density
 
 
