@@ -1,0 +1,84 @@
+"""Multi-host metric execution (tise_tpu/parallel/multihost.py).
+
+The subprocess test runs a REAL 2-process CPU ``jax.distributed`` cluster
+(not a 1-process bring-up): each worker extracts its file shard on a local
+mesh, allgathers rows, and the parent asserts both workers produced the
+byte-identical result of a single-process run.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from tise_tpu.parallel import multihost
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+class TestSingleProcessSemantics:
+    def test_shard_items_identity(self):
+        items = list("abcdef")
+        local, idx = multihost.shard_items(items)
+        assert local == items
+        np.testing.assert_array_equal(idx, np.arange(6))
+
+    def test_allgather_rows_scatter(self):
+        local = np.asarray([[1.0, 2.0], [3.0, 4.0]])
+        out = multihost.allgather_rows(local, np.asarray([2, 0]), 3)
+        np.testing.assert_array_equal(out[2], [1.0, 2.0])
+        np.testing.assert_array_equal(out[0], [3.0, 4.0])
+        np.testing.assert_array_equal(out[1], [0.0, 0.0])
+
+
+class TestTwoProcessCluster:
+    def test_extraction_matches_single_process(self, tmp_path):
+        folder = str(tmp_path)
+        rng = np.random.RandomState(0)
+        # 9 images: odd count exercises the padded tail batch on both paths
+        for i in range(9):
+            Image.fromarray(rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)).save(
+                os.path.join(folder, f"{i}.png")
+            )
+
+        # single-process oracle through the same extractor stack
+        import jax.numpy as jnp
+
+        from tise_tpu.core.data import ImageFolderLoader, list_images
+        from tise_tpu.metrics.extractor import BatchedExtractor
+
+        def apply_fn(params, x):
+            return {"feat": jnp.concatenate([x.mean(axis=(1, 2)), x.max(axis=(1, 2))], axis=-1)}
+
+        oracle = BatchedExtractor(apply_fn, {}, recipe="fid").run(
+            ImageFolderLoader.from_dir(folder, batch_size=4, image_size=16)
+        )["feat"]
+        files = list_images(folder)
+        oracle_lens = np.asarray([float(len(p)) for p in files])
+
+        port = str(12200 + os.getpid() % 2000)
+        # script-by-path puts tests/ on sys.path, not the repo root
+        env = {**os.environ, "JAX_PLATFORMS": "", "PYTHONPATH": REPO}
+        procs = [
+            subprocess.Popen(
+                [sys.executable, os.path.join(REPO, "tests", "multihost_worker.py"),
+                 str(p), "2", port, folder],
+                cwd=REPO, env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+            for p in range(2)
+        ]
+        logs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=420)
+            logs.append(out)
+        assert all(p.returncode == 0 for p in procs), "\n".join(logs)
+
+        for pid in range(2):
+            feat = np.load(os.path.join(folder, f"feat_{pid}.npy"))
+            lens = np.load(os.path.join(folder, f"lens_{pid}.npy"))
+            np.testing.assert_array_equal(feat, oracle)
+            np.testing.assert_array_equal(lens, oracle_lens)

@@ -123,10 +123,11 @@ def configure_precision(mode: str = "highest") -> None:
 
 def add_distributed_flags(parser) -> None:
     """Multi-host flags (SURVEY.md section 2.3 DCN headroom): when
-    --coordinator is given, every participating process runs the same CLI
-    and the mesh spans all hosts — the statistic accumulators (FID moments,
-    IS predictions, detection sweeps) are psum-able so no other change is
-    needed."""
+    --coordinator is given, every participating process runs the same CLI;
+    work items shard across processes (each on its local-device mesh) and
+    per-item outputs allgather back into global order before the metric math
+    — see tise_tpu/parallel/multihost.py.  Verified with a real 2-process
+    cluster in tests/test_multihost.py."""
     parser.add_argument("--coordinator", type=str, default=None,
                         help="coordinator address host:port for multi-host runs (jax.distributed)")
     parser.add_argument("--num-processes", type=int, default=None)

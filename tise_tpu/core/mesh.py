@@ -22,9 +22,17 @@ from tise_tpu.core.config import MeshConfig
 
 
 def make_mesh(cfg: Optional[MeshConfig] = None, devices: Optional[Sequence] = None) -> Mesh:
-    """Build a (data, model) mesh over the available devices."""
+    """Build a (data, model) mesh over the available devices.
+
+    Defaults to this process's LOCAL devices: under ``jax.distributed`` each
+    process drives its own chips over its own work-item shard and only the
+    final per-item outputs cross hosts (tise_tpu/parallel/multihost.py) —
+    single-process runs see every device either way.  Pass ``devices``
+    explicitly (e.g. ``jax.devices()``) for a program that must span hosts,
+    such as a cross-host TP training mesh.
+    """
     cfg = cfg or MeshConfig()
-    devices = list(devices if devices is not None else jax.devices())
+    devices = list(devices if devices is not None else jax.local_devices())
     n = len(devices)
     mp = max(1, cfg.model_parallel)
     dp = cfg.data_parallel if cfg.data_parallel > 0 else n // mp

@@ -91,11 +91,14 @@ def compute_ca(
     batch_size: int = 32,
     num_workers: int = 8,
 ) -> float:
+    from tise_tpu.parallel import multihost
+
     n = len(counting_data)
-    rmse = np.zeros(n)
+    sel, gidx = multihost.shard_items(list(range(n)))
+    local = np.zeros(len(sel))
     with ThreadPoolExecutor(max_workers=num_workers) as pool:
-        for start in range(0, n, batch_size):
-            chunk = list(range(start, min(start + batch_size, n)))
+        for start in range(0, len(sel), batch_size):
+            chunk = sel[start : start + batch_size]
             imgs = list(
                 pool.map(
                     lambda i: load_image(
@@ -107,7 +110,8 @@ def compute_ca(
             )
             preds = engine.count_batch(np.stack(imgs))
             for j, i in enumerate(chunk):
-                rmse[i] = rmse_for_item(preds[j], counting_data[i]["counting_info"])
+                local[start + j] = rmse_for_item(preds[j], counting_data[i]["counting_info"])
+    rmse = multihost.allgather_rows(local, gidx, n)
     return float(np.mean(rmse))
 
 

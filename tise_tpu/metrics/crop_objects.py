@@ -14,10 +14,12 @@ from __future__ import annotations
 
 import argparse
 
-from tise_tpu.core.config import add_distributed_flags, maybe_init_distributed
+from tise_tpu.core.config import (add_distributed_flags, add_precision_flag,
+                                  configure_precision, maybe_init_distributed)
 import os
 from typing import Sequence
 
+import numpy as np
 from PIL import Image
 
 from tise_tpu.backbones.detection.coco_classes import COCO_CLASSES
@@ -30,10 +32,18 @@ def crop_folder(
     *,
     class_names: Sequence[str] = COCO_CLASSES,
 ) -> int:
-    """Detect + crop every image; returns number of crops written."""
+    """Detect + crop every image; returns number of crops written.
+
+    Multi-host: source files shard across processes; the running crop index
+    strides by process count so names stay unique on the shared FS (the
+    index is a uniquifier, not data — O-IS/O-FID walk the folder)."""
+    from tise_tpu.parallel import multihost
+
     files = [os.path.join(src_dir, f) for f in sorted(os.listdir(src_dir))]
+    files, _ = multihost.shard_items(files)
     os.makedirs(dest_dir, exist_ok=True)
-    count = 0
+    count, step = multihost.process_index(), multihost.process_count()
+    written = 0
     preds = detector(files)
     for path in files:
         names, ids, boxes = preds[path]
@@ -49,8 +59,13 @@ def crop_folder(
                 crop = im.crop((x1, y1, x2, y2))
                 cls_name = class_names[int(cls_id)]
                 crop.save(os.path.join(dest_dir, f"{stem}_{cls_name}_{count}.png"))
-                count += 1
-    return count
+                count += step
+                written += 1
+    total = multihost.allgather_rows(
+        np.asarray([written]), np.asarray([multihost.process_index()]), multihost.process_count()
+    )
+    multihost.barrier("crop_objects_done")
+    return int(total.sum())
 
 
 def main(argv=None) -> None:
@@ -62,13 +77,17 @@ def main(argv=None) -> None:
                    help="detectron2 ResizeShortestEdge(800/1333) with static shape "
                         "buckets for non-square sources (default: square 800 resize, "
                         "exact for TISE's square generated images)")
+    add_precision_flag(p)
     add_distributed_flags(p)
     args = p.parse_args(argv)
+    configure_precision(args.precision)
     maybe_init_distributed(args)
 
     from tise_tpu.backbones.detection import predictor as det
 
-    detector = det.make_folder_detector(args.weights, aspect_resize=args.aspect_resize)
+    detector = det.make_folder_detector(
+        args.weights, aspect_resize=args.aspect_resize, precision=args.precision
+    )
     n = crop_folder(detector, args.source_image_dir, args.saved_cropped_object_dir)
     print(f"wrote {n} crops to {args.saved_cropped_object_dir}")
 

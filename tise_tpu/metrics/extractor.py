@@ -85,7 +85,38 @@ class BatchedExtractor:
 
         Double-buffered: batch k+1 is dispatched before batch k's results are
         pulled, so host transfer/compute overlap device compute.
+
+        Under ``jax.distributed`` (process_count > 1) the loader's file list
+        is sharded across processes, each process extracts on its local-device
+        mesh, and the rows are allgathered back into global file order — the
+        returned dict is identical on every process and bit-equal to a
+        single-host run (tests/test_multihost.py).
         """
+        from tise_tpu.parallel import multihost
+
+        if multihost.is_distributed() and hasattr(loader, "files"):
+            files = list(loader.files)
+            if getattr(loader, "drop_last", False):
+                # legacy drop_last acts on the GLOBAL list (fid_score.py:216)
+                files = files[: len(files) // loader.batch_size * loader.batch_size]
+            local_files, idx = multihost.shard_items(files)
+            sub = type(loader)(
+                local_files,
+                loader.batch_size,
+                loader.image_size,
+                resample=loader.resample,
+                center_crop=loader.center_crop,
+                drop_last=False,
+                num_workers=loader.num_workers,
+                prefetch=loader.prefetch,
+            )
+            local = self._run_local(sub, keys)
+            return {
+                k: multihost.allgather_rows(v, idx, len(files)) for k, v in local.items()
+            }
+        return self._run_local(loader, keys)
+
+    def _run_local(self, loader: Iterable[Batch], keys: Optional[Sequence[str]] = None) -> Dict[str, np.ndarray]:
         pending: List[tuple] = []
         chunks: Dict[str, List[np.ndarray]] = {}
 

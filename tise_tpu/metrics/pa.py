@@ -45,12 +45,18 @@ def score_phrase(
     threshold: float = PA_SUCCESS_THRESHOLD,
     num_workers: int = 8,
 ) -> Tuple[float, int]:
-    """-> (success rate, total) for one positional-word folder."""
+    """-> (success rate, total) for one positional-word folder.
+
+    Multi-host: the phrase's items shard across processes, per-item success
+    bits allgather back (tise_tpu/parallel/multihost.py)."""
+    from tise_tpu.parallel import multihost
+
     n = len(items)
-    successes = 0
+    sel, gidx = multihost.shard_items(list(items))
+    local = np.zeros(len(sel), dtype=bool)
     with ThreadPoolExecutor(max_workers=num_workers) as pool:
-        for start in range(0, n, batch_size):
-            chunk = items[start : start + batch_size]
+        for start in range(0, len(sel), batch_size):
+            chunk = sel[start : start + batch_size]
             imgs = list(
                 pool.map(
                     lambda it: center_crop_resize(os.path.join(phrase_dir, f"{it['caption_id']}.png"), 224), chunk
@@ -58,8 +64,9 @@ def score_phrase(
             )
             toks = [tokenizer.tokenize([it["caption"], it["false_caption"]]) for it in chunk]
             logits = scorer.logits(np.stack(imgs), np.stack(toks))
-            successes += int(np.sum(_softmax2_first(logits) > threshold))
-    return successes / n if n else 0.0, n
+            local[start : start + len(chunk)] = _softmax2_first(logits) > threshold
+    success = multihost.allgather_rows(local, gidx, n)
+    return float(np.sum(success)) / n if n else 0.0, n
 
 
 def compute_pa(

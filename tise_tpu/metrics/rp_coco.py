@@ -54,20 +54,26 @@ def score_items(
     batch_size: int = 64,
     num_workers: int = 8,
 ) -> np.ndarray:
-    """-> bool success per item (GT caption ranked first among 100)."""
+    """-> bool success per item (GT caption ranked first among 100).
+
+    Multi-host: items shard across processes (local mesh each), successes
+    allgather into global item order (tise_tpu/parallel/multihost.py)."""
+    from tise_tpu.parallel import multihost
+
     n = len(items)
-    success = np.zeros(n, dtype=bool)
+    sel, gidx = multihost.shard_items(list(range(n)))
+    local = np.zeros(len(sel), dtype=bool)
     with ThreadPoolExecutor(max_workers=num_workers) as pool:
-        for start in range(0, n, batch_size):
-            chunk = list(range(start, min(start + batch_size, n)))
+        for start in range(0, len(sel), batch_size):
+            chunk = sel[start : start + batch_size]
             imgs = list(pool.map(lambda i: center_crop_resize(image_paths[i], 224), chunk))
             toks = []
             for i in chunk:
                 caps = [items[i]["caption"]] + list(items[i]["mismatched_captions"])
                 toks.append(tokenizer.tokenize(caps))
             logits = scorer.logits(np.stack(imgs), np.stack(toks))
-            success[chunk] = np.argmax(logits, axis=1) == 0
-    return success
+            local[start : start + len(chunk)] = np.argmax(logits, axis=1) == 0
+    return multihost.allgather_rows(local, gidx, n)
 
 
 def compute_rp(

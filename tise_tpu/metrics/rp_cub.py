@@ -158,12 +158,15 @@ def compute_rp_cub(
     seed: int = 0,
     num_workers: int = 8,
 ) -> Tuple[float, float]:
+    from tise_tpu.parallel import multihost
+
     n = len(rp_input)
-    successes = np.zeros(n, dtype=np.float64)
+    sel, gidx = multihost.shard_items(list(range(n)))
+    local = np.zeros(len(sel), dtype=np.float64)
     max_len = scorer.max_len
     with ThreadPoolExecutor(max_workers=num_workers) as pool:
-        for start in range(0, n, batch_size):
-            chunk = list(range(start, min(start + batch_size, n)))
+        for start in range(0, len(sel), batch_size):
+            chunk = sel[start : start + batch_size]
             imgs = list(
                 pool.map(
                     lambda i: load_image(
@@ -181,7 +184,8 @@ def compute_rp_cub(
                 cap_sets.append(ids)
             caps, lens = pack_caption_sets(cap_sets, max_len)
             scores = scorer.scores(np.stack(imgs), caps, lens)
-            successes[chunk] = (np.argmax(scores, axis=1) == 0).astype(np.float64)
+            local[start : start + len(chunk)] = (np.argmax(scores, axis=1) == 0).astype(np.float64)
+    successes = multihost.allgather_rows(local, gidx, n)
 
     bins = legacy_bins(successes, seed) if legacy_compat else equal_bins(successes, seed=seed)
     return float(np.average(bins)), float(np.std(bins))

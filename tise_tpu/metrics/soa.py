@@ -29,7 +29,8 @@ from typing import Callable, Dict, List, Sequence, Tuple
 import numpy as np
 
 from tise_tpu.core import io as result_io
-from tise_tpu.core.config import add_distributed_flags, maybe_init_distributed
+from tise_tpu.core.config import (add_distributed_flags, add_precision_flag,
+                                  configure_precision, maybe_init_distributed)
 
 #: detector output per image: ([class names], [class ids], [xyxy boxes])
 Detections = Tuple[List[str], List[int], List[np.ndarray]]
@@ -61,6 +62,12 @@ def run_detection(
             "results will not be conclusive."
         )
     os.makedirs(detected_dir, exist_ok=True)
+    from tise_tpu.parallel import multihost
+
+    # multi-host: label folders shard across processes (each on its local
+    # mesh, pickles land on the shared FS); the barrier below makes stage 2
+    # see every pickle regardless of which process wrote it
+    dirs, _ = multihost.shard_items(dirs)
     for d in dirs:
         out_pkl = os.path.join(detected_dir, f"detected_{d}.pkl")
         if os.path.isfile(out_pkl):
@@ -75,6 +82,7 @@ def run_detection(
             if len(ids) > 0:
                 output[os.path.basename(path)] = [list(names), list(ids), list(boxes)]
         result_io.save_pickle(out_pkl, output)
+    multihost.barrier("soa_detection_done")
 
 
 def recall_for_label(detections: Dict[str, Detections], label: int) -> Tuple[float, int, int]:
@@ -137,14 +145,18 @@ def main(argv=None) -> None:
                         "buckets for non-square sources (default: square 800 resize, "
                         "exact for TISE's square generated images)")
     p.add_argument("--skip_detection", action="store_true", help="aggregate cached pickles only")
+    add_precision_flag(p)
     add_distributed_flags(p)
     args = p.parse_args(argv)
+    configure_precision(args.precision)
     maybe_init_distributed(args)
 
     if not args.skip_detection:
         from tise_tpu.backbones.detection import predictor as det
 
-        detector = det.make_folder_detector(args.weights, aspect_resize=args.aspect_resize)
+        detector = det.make_folder_detector(
+            args.weights, aspect_resize=args.aspect_resize, precision=args.precision
+        )
         run_detection(args.images, args.detected_results, detector)
     calc_soa(args.detected_results, args.saved_file)
 

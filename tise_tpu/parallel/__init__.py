@@ -15,13 +15,14 @@ from tise_tpu.core.mesh import (  # noqa: F401
     shard_batch,
 )
 from tise_tpu.ops.stats import psum_moments  # noqa: F401
+from tise_tpu.parallel import multihost  # noqa: F401
 
 
 def init_distributed(coordinator_address: str | None = None, num_processes: int | None = None, process_id: int | None = None) -> None:
     """Multi-host bring-up (optional DCN headroom, SURVEY.md section 2.3).
 
-    All statistics in this framework reduce with psum, so multi-host FID/IS
-    extraction only needs the global mesh this initialises.
+    After this, metric CLIs shard work items across processes and allgather
+    per-item outputs (tise_tpu/parallel/multihost.py).
     """
     import jax
 
