@@ -192,6 +192,109 @@ class TestBf16Equivalence:
         assert matched(r16, r32) >= 0.9
 
 
+def _blob_image(size: int, seed: int = 3) -> np.ndarray:
+    """Smooth multi-blob image: structured activations, not noise."""
+    rng = np.random.RandomState(seed)
+    ys, xs = np.mgrid[0:size, 0:size].astype(np.float32)
+    img = np.zeros((size, size, 3), np.float32)
+    for _ in range(6):
+        cy, cx = rng.uniform(0, size, 2)
+        s = rng.uniform(8, 30)
+        blob = np.exp(-((ys - cy) ** 2 + (xs - cx) ** 2) / (2 * s * s))
+        img += blob[..., None] * rng.uniform(50, 150, 3).astype(np.float32)
+    return img - img.mean()
+
+
+class TestTorchRcnnOracle:
+    """Full-forward parity vs the pure-torch detectron2-semantics oracle
+    (tests/torch_rcnn_ref.py) from a synthetic detectron2-layout state_dict:
+    catches conversion bugs (BN fold, OIHW->HWIO, fc1 CHW->HWC flatten
+    order) and forward-composition bugs that shape/smoke tests cannot."""
+
+    SIZE = 128
+
+    @pytest.fixture(scope="class")
+    def oracle(self):
+        from tests.torch_rcnn_ref import build_synthetic_state_dict, torch_forward
+
+        # cls_gain keeps logits O(1-10): saturated softmax scores tie at 1.0
+        # and NMS picks arbitrary representatives among tied overlaps
+        sd = build_synthetic_state_dict(seed=0, rpn_gain=5.0, cls_gain=0.01)
+        img = _blob_image(self.SIZE)
+        ref = torch_forward(sd, img.transpose(2, 0, 1))
+        return sd, img, ref
+
+    def test_trunk_fpn_rpn_forward(self, oracle):
+        from tise_tpu.backbones.detection.rcnn import RPNHead
+        from tise_tpu.backbones.detection.resnet_fpn import FPN, ResNet50
+        from tise_tpu.backbones.detection.weights import params_from_detectron2
+
+        sd, img, ref = oracle
+        params = params_from_detectron2(sd)["params"]
+        trunk = jax.jit(lambda p, x: ResNet50().apply({"params": p}, x))(
+            params["backbone"], jnp.asarray(img)[None]
+        )
+        feats = jax.jit(lambda p, t: FPN().apply({"params": p}, t))(params["fpn"], trunk)
+
+        def close(got, want):
+            # scale-normalized: fp accumulation noise through ~50 conv layers
+            # is absolute in units of the feature scale, not per-element
+            scale = max(np.abs(want).max(), 1e-6)
+            np.testing.assert_allclose(got / scale, want / scale, rtol=0, atol=2e-3)
+
+        for got, want in zip(feats, ref["feats"]):
+            close(np.asarray(got[0]), want)
+        logits, _ = jax.jit(lambda p, f: RPNHead().apply({"params": p}, list(f)))(
+            params["rpn"], tuple(feats)
+        )
+        for got, want in zip(logits, ref["rpn_logits"]):
+            close(np.asarray(got[0]), want)
+
+    def test_box_head_flatten_order(self, oracle):
+        from tise_tpu.backbones.detection.rcnn import BoxHead
+        from tise_tpu.backbones.detection.weights import params_from_detectron2
+
+        sd, img, ref = oracle
+        params = params_from_detectron2(sd)["params"]
+        cls_logits, box_deltas = jax.jit(
+            lambda p, r: BoxHead().apply({"params": p}, r)
+        )(params["box_head"], jnp.asarray(ref["roi"]))
+        for got, want in ((cls_logits, ref["cls_logits"]), (box_deltas, ref["box_deltas"])):
+            scale = max(np.abs(want).max(), 1e-6)
+            np.testing.assert_allclose(np.asarray(got) / scale, want / scale, rtol=0, atol=2e-3)
+
+    def test_end_to_end_detections(self, oracle):
+        from tise_tpu.backbones.detection.rcnn import FasterRCNN
+        from tise_tpu.backbones.detection.weights import params_from_detectron2
+
+        sd, img, ref = oracle
+        det = jax.jit(FasterRCNN().apply)(params_from_detectron2(sd), jnp.asarray(img))
+        ours = [
+            (int(det.classes[i]), np.asarray(det.boxes[i]), float(det.scores[i]))
+            for i in range(det.valid.shape[0])
+            if bool(det.valid[i])
+        ]
+        theirs = ref["detections"]
+        assert len(theirs) > 0, "oracle produced no detections; sharpen gains"
+
+        def matched(a, b):
+            hits = 0
+            for ca, ba, sa in a:
+                for cb, bb, sb in b:
+                    if ca != cb or abs(sa - sb) > 0.05:
+                        continue
+                    iou = float(
+                        np.asarray(ops.box_iou(jnp.asarray(ba[None]), jnp.asarray(bb[None])))[0, 0]
+                    )
+                    if iou > 0.85:
+                        hits += 1
+                        break
+            return hits / max(len(a), 1)
+
+        assert matched(ours, theirs) >= 0.9
+        assert matched(theirs, ours) >= 0.9
+
+
 class TestEndToEnd:
     def test_folder_predictor_smoke(self, tmp_path):
         """Random-weight Faster R-CNN over a 2-image folder at a small static
