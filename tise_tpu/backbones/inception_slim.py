@@ -49,7 +49,12 @@ _MIXED = {
     "mixed_17x17x768c": "Mixed_6c",
     "mixed_17x17x768d": "Mixed_6d",
     "mixed_17x17x768e": "Mixed_6e",
-    "mixed_8x8x1280a": "Mixed_7a",
+    # NOT "mixed_8x8x1280a": the vendored slim file deliberately keeps the
+    # stale 17x17 scope for checkpoint compatibility ("scope below is not
+    # changed to not void previous checkpoints",
+    # inception/slim/inception_model.py:243-246); caught by the TF oracle
+    # (tests/test_tf_slim.py)
+    "mixed_17x17x1280a": "Mixed_7a",
     "mixed_8x8x2048a": "Mixed_7b",
     "mixed_8x8x2048b": "Mixed_7c",
 }
