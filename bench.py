@@ -99,6 +99,86 @@ def detector_images_per_sec(on_tpu: bool) -> float | None:
         return None
 
 
+def fid30k_pipeline(on_tpu: bool) -> dict | None:
+    """End-to-end FID wall-clock at COCO-30k scale (BASELINE.md's second
+    headline; reference hot loop fid_score.py:223-238).
+
+    Measures the production fast recipe end to end: per-batch dispatch (NO
+    fori chaining — the ~10 ms/dispatch tunnel tax is part of this pipeline,
+    unlike the tower metric), device-side resize 256->299 + normalize +
+    bf16 FastInception pool3, device-side streaming moments
+    (ops.stats.update_moments, the --streaming path), finalize + Newton-
+    Schulz frechet distance.  Host->device image upload is EXCLUDED: batches
+    are pre-staged on device and salt-xor-cycled (the axon tunnel's ~40 MB/s
+    lazy uploads with multi-minute stalls would otherwise measure only the
+    tunnel — a real TPU host feeds 256-px uint8 at PCIe rates, >5x what 6k
+    img/s needs; tools/ probes + ROADMAP.md document this).  Returns
+    {fid30k_wallclock_sec, fid30k_images_per_sec} or None on failure.
+    """
+    try:
+        from tise_tpu.backbones import inception_fast, inception_v3
+        from tise_tpu.ops import sqrtm as sqrtm_lib
+        from tise_tpu.ops import stats
+        from tise_tpu.ops.preprocess import resize_and_normalize
+
+        batch = 256 if on_tpu else 8
+        n_batches = 118 if on_tpu else 2  # 118*256 = 30208 ~ "30k"
+        pool_n = 4 if on_tpu else 2
+        src = 256 if on_tpu else 96
+        dtype = jnp.bfloat16 if on_tpu else jnp.float32
+
+        _mark("fid30k: init")
+        params = jax.jit(
+            lambda r: inception_v3.InceptionV3(num_classes=1000, dtype=dtype).init(
+                r, jnp.zeros((1, 299, 299, 3), dtype), endpoints=("logits",)
+            )
+        )(jax.random.PRNGKey(1))
+        fast = inception_fast.FastInception(
+            dtype=dtype, folded=jax.jit(lambda p: inception_fast.fold_tree(p, dtype))(params)
+        )
+
+        @jax.jit
+        def step(state, imgs_u8, salt):
+            x = resize_and_normalize(jnp.bitwise_xor(imgs_u8, salt), "fid", 299)
+            acts = fast(x.astype(dtype), endpoints=("pool3",))["pool3"].astype(jnp.float32)
+            return stats.update_moments(state, acts)
+
+        host = np.random.RandomState(7)
+        pool = [
+            jax.device_put(host.randint(0, 256, (batch, src, src, 3)).astype(np.uint8))
+            for _ in range(pool_n)
+        ]
+        touch = jax.jit(lambda x: jnp.sum(x, dtype=jnp.int32))
+        for p in pool:
+            int(touch(p))
+        _mark("fid30k: compile+warm")
+        warm = step(stats.init_moments(2048), pool[0], jnp.uint8(255))
+        float(warm.count)  # sync
+
+        _mark("fid30k: timing")
+        half = n_batches // 2
+        t0 = time.perf_counter()
+        states = []
+        for h in range(2):
+            s = stats.init_moments(2048)
+            for i in range(half):
+                b = h * half + i
+                s = step(s, pool[b % pool_n], jnp.uint8(b))
+            states.append(s)
+        mus, sigmas = zip(*(stats.finalize_moments(s) for s in states))
+        fid = sqrtm_lib.frechet_distance(mus[0], sigmas[0], mus[1], sigmas[1], method="ns")
+        dt = time.perf_counter() - t0
+        n_imgs = 2 * half * batch
+        _mark(f"fid30k: {n_imgs} imgs in {dt:.2f}s (fid={fid:.4f})")
+        return {
+            "fid30k_wallclock_sec": round(dt, 2),
+            "fid30k_images_per_sec": round(n_imgs / dt, 2),
+        }
+    except Exception as e:  # noqa: BLE001 — primary metric must still print
+        _mark(f"fid30k bench failed: {type(e).__name__}: {e}")
+        return None
+
+
 def main() -> None:
     from tise_tpu.backbones import clip_fast, clip_vit, inception_fast, inception_v3
 
@@ -189,7 +269,11 @@ def main() -> None:
         "unit": "images/sec/chip",
         "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 4),
     }
-    _mark(f"extract done: {images_per_sec:.1f} img/s; detector bench")
+    _mark(f"extract done: {images_per_sec:.1f} img/s; fid30k bench")
+    fid_metrics = fid30k_pipeline(on_tpu)
+    if fid_metrics is not None:
+        line.update(fid_metrics)
+    _mark("detector bench")
     det_ips = detector_images_per_sec(on_tpu)
     if det_ips is not None:
         line["detector_images_per_sec"] = round(det_ips, 2)
