@@ -196,6 +196,14 @@ def roi_align_multilevel(
     coordinates/weights are computed in f32 and cast to the feature dtype
     for the multiply, keeping the bf16 fast path's intermediates
     half-width.
+
+    The gather rows are ordered BIN-major — index [n, by, bx, sy, sx] — so
+    the 2x2 sample mean of each output bin reduces over the 4
+    memory-adjacent rows just gathered ([N, 49, 4, C] -> mean axis 2), which
+    XLA fuses with the corner weighted-sum into the gather consumer; the
+    sample-major order ([N, S, S, C] with the bin mean striding axes 2 and
+    4) materialized the interpolated buffer and re-read it (~2.0 ms/img of
+    the roi stage vs ~0.6 ms floor).
     """
     c = feats[0].shape[-1]
     hs = np.asarray([f.shape[0] for f in feats], np.int32)
@@ -239,23 +247,28 @@ def roi_align_multilevel(
     y0, _y1i, fy = bilinear(ys, h_n)
     x0, _x1i, fx = bilinear(xs, w_n)
 
-    base = off_n[:, None, None]
-    wrow = w_n[:, None, None]
-    iy0 = y0[:, :, None]  # [N, S, 1]
-    ix0 = x0[:, None, :]  # [N, 1, S]
-    wd = flat.dtype
-    wy0, wy1 = (1 - fy).astype(wd)[:, :, None, None], fy.astype(wd)[:, :, None, None]
-    wx0, wx1 = (1 - fx).astype(wd)[:, None, :, None], fx.astype(wd)[:, None, :, None]
-    v = flat[base + iy0 * wrow + ix0]  # [N, S_y, S_x, 4C] — all four corners
-    vals = (
-        v[..., 0 * c : 1 * c] * (wy0 * wx0)
-        + v[..., 1 * c : 2 * c] * (wy0 * wx1)
-        + v[..., 2 * c : 3 * c] * (wy1 * wx0)
-        + v[..., 3 * c : 4 * c] * (wy1 * wx1)
-    )  # [N, S_y, S_x, C]
     n = boxes.shape[0]
-    vals = vals.reshape(n, out_size, sampling, out_size, sampling, c)
-    return jnp.mean(vals.astype(jnp.float32), axis=(2, 4)).astype(wd)
+    o, sp = out_size, sampling
+    # bin-major index [n, by, bx, sy, sx] (see docstring)
+    iy = y0.reshape(n, o, sp)[:, :, None, :, None]  # [N, o, 1, sp, 1]
+    ix = x0.reshape(n, o, sp)[:, None, :, None, :]  # [N, 1, o, 1, sp]
+    idx = off_n[:, None, None, None, None] + iy * w_n[:, None, None, None, None] + ix
+    wd = flat.dtype
+    fy = fy.reshape(n, o, sp)[:, :, None, :, None]
+    fx = fx.reshape(n, o, sp)[:, None, :, None, :]
+    wy0, wy1 = (1 - fy), fy
+    wx0, wx1 = (1 - fx), fx
+    v = flat[idx.reshape(n, o * o, sp * sp)]  # [N, 49, 4, 4C] — all four corners
+    w = jnp.stack([wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1], axis=-1)  # [N,o,o,sp,sp,4]
+    w = w.reshape(n, o * o, sp * sp, 4).astype(wd)
+    vals = (
+        v[..., 0 * c : 1 * c] * w[..., 0:1]
+        + v[..., 1 * c : 2 * c] * w[..., 1:2]
+        + v[..., 2 * c : 3 * c] * w[..., 2:3]
+        + v[..., 3 * c : 4 * c] * w[..., 3:4]
+    )  # [N, 49, 4, C]
+    vals = jnp.mean(vals.astype(jnp.float32), axis=2)  # contiguous-row bin mean
+    return vals.reshape(n, o, o, c).astype(wd)
 
 
 def assign_fpn_level(boxes: jax.Array, k_min: int = 2, k_max: int = 5, canonical: float = 224.0) -> jax.Array:

@@ -73,6 +73,19 @@ def build_stage_fn(model, stage: str):
             roi = ops.roi_align_multilevel(
                 [feats[lvl - 2][0] for lvl in range(2, 6)], proposals, levels, STRIDES[:4]
             ).astype(model.dtype)
+            if stage == "align":
+                return jnp.sum(roi.astype(jnp.float32))
+            if stage == "alignsynth":
+                # same feats, synthetic boxes: isolates box-content effects
+                key = jax.random.PRNGKey(0)
+                ctr = jax.random.uniform(key, (proposals.shape[0], 2), minval=50.0, maxval=750.0)
+                sz = jax.random.uniform(jax.random.PRNGKey(1), (proposals.shape[0], 2), minval=20.0, maxval=300.0)
+                sboxes = jnp.concatenate([ctr - sz / 2, ctr + sz / 2], -1) + jnp.sum(proposals) * 0.0
+                slev = ops.assign_fpn_level(sboxes)
+                sroi = ops.roi_align_multilevel(
+                    [feats[lvl - 2][0] for lvl in range(2, 6)], sboxes, slev, STRIDES[:4]
+                )
+                return jnp.sum(sroi.astype(jnp.float32))
             cls_logits, box_deltas = mdl.box_head(roi)
             if stage == "roi":
                 return jnp.sum(cls_logits.astype(jnp.float32)) + jnp.sum(
