@@ -41,16 +41,19 @@ _T0 = time.perf_counter()
 BASELINE_IMAGES_PER_SEC = 5000.0
 
 
-def detector_images_per_sec(on_tpu: bool) -> float | None:
+def detector_images_per_sec(on_tpu: bool) -> dict | None:
     """Static-shape Faster R-CNN sweep throughput (the SOA/O-metrics hot loop:
     80 labels x ~30k images is the reference's longest pipeline).  Measures
     the production fast path: bf16 trunk/heads with f32 score/box epilogues
     (bf16-vs-f32 detection equivalence tested, tests/test_detection.py), the
-    single-gather multilevel ROIAlign, micro-batch 8 chained inside one
-    dispatch via lax.map + fori_loop so the tunnel's ~10 ms/dispatch tax
+    single-gather bin-major multilevel ROIAlign, micro-batch 8 chained inside
+    one dispatch via lax.map + fori_loop so the tunnel's ~10 ms/dispatch tax
     amortizes like the extraction bench.  Random weights — identical compute
-    to the real sweep.  Returns None on failure so the primary metric line
-    always prints."""
+    to the real sweep.  Two lines: ``detector_images_per_sec`` is the default
+    config (roi_sampling=2); ``detector_fast_images_per_sec`` is the opt-in
+    ``--roi-sampling 1`` sweep mode (~4x less ROIAlign HBM traffic, detection
+    agreement quantified in tests/test_detection.py).  Returns None on
+    failure so the primary metric line always prints."""
     try:
         from tise_tpu.backbones.detection.predictor import PIXEL_MEAN_BGR
         from tise_tpu.backbones.detection.rcnn import FasterRCNN
@@ -58,42 +61,50 @@ def detector_images_per_sec(on_tpu: bool) -> float | None:
         size = 800 if on_tpu else 128
         mb = 8 if on_tpu else 2
         n_chunks = 2 if on_tpu else 1
-        chain = 4 if on_tpu else 1
-        iters = 5 if on_tpu else 1
+        chain = 8 if on_tpu else 1
+        iters = 4 if on_tpu else 1
         dtype = jnp.bfloat16 if on_tpu else jnp.float32
         batch = mb * n_chunks
         _mark("detector: init (jitted)")
-        model = FasterRCNN(dtype=dtype)
-        params = jax.jit(lambda r: model.init(r, jnp.zeros((size, size, 3), dtype)))(
-            jax.random.PRNGKey(0)
-        )
-
-        def single(p, img_u8):
-            x = (img_u8.astype(jnp.float32) - jnp.asarray(PIXEL_MEAN_BGR)).astype(dtype)
-            return model.apply(p, x)
-
-        @jax.jit
-        def fwd(p, imgs_u8, seed0):
-            # imgs_u8: [n_chunks, mb, H, W, 3]; per-rep seed xor defeats the
-            # tunnel's result cache without re-uploading the batch
-            def rep(i, acc):
-                x = jnp.bitwise_xor(imgs_u8, (seed0 + i).astype(jnp.uint8))
-                det = jax.lax.map(lambda ch: jax.vmap(single, in_axes=(None, 0))(p, ch), x)
-                return acc + jnp.sum(det.scores.astype(jnp.float32))
-
-            return jax.lax.fori_loop(0, chain, rep, jnp.float32(0))
+        models = {
+            "detector_images_per_sec": FasterRCNN(dtype=dtype, roi_sampling=2),
+            "detector_fast_images_per_sec": FasterRCNN(dtype=dtype, roi_sampling=1),
+        }
+        params = jax.jit(
+            lambda r: models["detector_images_per_sec"].init(r, jnp.zeros((size, size, 3), dtype))
+        )(jax.random.PRNGKey(0))
 
         host = np.random.RandomState(1)
         imgs = jax.device_put(host.randint(0, 256, (n_chunks, mb, size, size, 3)).astype(np.uint8))
         int(jax.jit(lambda x: jnp.sum(x, dtype=jnp.int32))(imgs))  # materialize upload
         seeds = [jnp.uint8(i * chain) for i in range(iters + 1)]
-        _mark("detector: compile+warm")
-        float(fwd(params, imgs, seeds[0]))  # compile + warm
-        _mark("detector: timing")
-        t0 = time.perf_counter()
-        outs = [fwd(params, imgs, s) for s in seeds[1:]]
-        float(outs[-1])
-        return batch * chain * iters / (time.perf_counter() - t0)
+
+        out: dict = {}
+        for key, model in models.items():
+
+            def single(p, img_u8, _m=model):
+                x = (img_u8.astype(jnp.float32) - jnp.asarray(PIXEL_MEAN_BGR)).astype(dtype)
+                return _m.apply(p, x)
+
+            @jax.jit
+            def fwd(p, imgs_u8, seed0, _single=single):
+                # imgs_u8: [n_chunks, mb, H, W, 3]; per-rep seed xor defeats
+                # the tunnel's result cache without re-uploading the batch
+                def rep(i, acc):
+                    x = jnp.bitwise_xor(imgs_u8, (seed0 + i).astype(jnp.uint8))
+                    det = jax.lax.map(lambda ch: jax.vmap(_single, in_axes=(None, 0))(p, ch), x)
+                    return acc + jnp.sum(det.scores.astype(jnp.float32))
+
+                return jax.lax.fori_loop(0, chain, rep, jnp.float32(0))
+
+            _mark(f"detector: compile+warm ({key})")
+            float(fwd(params, imgs, seeds[0]))  # compile + warm
+            _mark(f"detector: timing ({key})")
+            t0 = time.perf_counter()
+            outs = [fwd(params, imgs, s) for s in seeds[1:]]
+            float(outs[-1])
+            out[key] = round(batch * chain * iters / (time.perf_counter() - t0), 2)
+        return out
     except Exception as e:  # noqa: BLE001 — primary metric must still print
         _mark(f"detector bench failed: {type(e).__name__}: {e}")
         return None
@@ -276,7 +287,7 @@ def main() -> None:
     _mark("detector bench")
     det_ips = detector_images_per_sec(on_tpu)
     if det_ips is not None:
-        line["detector_images_per_sec"] = round(det_ips, 2)
+        line.update(det_ips)
     print(json.dumps(line))
 
 

@@ -114,6 +114,7 @@ class TPUDetector:
         aspect_max: int = MAX_SIZE,
         micro_batch: Optional[int] = None,
         score_thresh: float = 0.5,
+        roi_sampling: int = 2,
     ):
         """``aspect_buckets``: enable detectron2-parity aspect-preserving
         resize (ResizeShortestEdge 800/1333) with zero-padding to one of the
@@ -150,7 +151,7 @@ class TPUDetector:
         self.micro_batch = mb
         self._n_chunks = batch_size // mb
         self.input_size = input_size
-        model = FasterRCNN(dtype=dtype, score_thresh=score_thresh)
+        model = FasterRCNN(dtype=dtype, score_thresh=score_thresh, roi_sampling=roi_sampling)
         if weights_path:
             params = load_detectron2_pkl(weights_path)
         else:  # random init (tests / smoke)
@@ -314,10 +315,12 @@ def make_folder_detector(
     batch_size: Optional[int] = None,
     aspect_resize: bool = False,
     precision: str = "highest",
+    roi_sampling: int = 2,
 ) -> Callable:
     """``precision='fast'`` selects the bf16 forward (f32 epilogues,
     detection-equivalent within score tolerance — tests/test_detection.py)
-    and a larger default batch; 'highest' keeps full f32."""
+    and a larger default batch; 'highest' keeps full f32.  ``roi_sampling=1``
+    is the opt-in sweep accelerator (see FasterRCNN.roi_sampling)."""
     fast = precision == "fast"
     if batch_size is None:
         batch_size = 32 if fast else 4
@@ -326,5 +329,6 @@ def make_folder_detector(
         batch_size=batch_size,
         dtype=jnp.bfloat16 if fast else jnp.float32,
         aspect_buckets=DEFAULT_BUCKETS if aspect_resize else None,
+        roi_sampling=roi_sampling,
     )
     return det.detect_files

@@ -145,6 +145,11 @@ def main(argv=None) -> None:
                         "buckets for non-square sources (default: square 800 resize, "
                         "exact for TISE's square generated images)")
     p.add_argument("--skip_detection", action="store_true", help="aggregate cached pickles only")
+    p.add_argument("--roi-sampling", type=int, default=2, choices=(1, 2),
+                   help="ROIAlign samples per bin per dim; 1 = fast sweep mode "
+                        "(~4x less ROIAlign HBM traffic, detection agreement "
+                        "quantified in tests/test_detection.py), 2 = default "
+                        "detectron2-adaptive-grid approximation")
     add_precision_flag(p)
     add_distributed_flags(p)
     args = p.parse_args(argv)
@@ -155,7 +160,8 @@ def main(argv=None) -> None:
         from tise_tpu.backbones.detection import predictor as det
 
         detector = det.make_folder_detector(
-            args.weights, aspect_resize=args.aspect_resize, precision=args.precision
+            args.weights, aspect_resize=args.aspect_resize, precision=args.precision,
+            roi_sampling=args.roi_sampling,
         )
         run_detection(args.images, args.detected_results, detector)
     calc_soa(args.detected_results, args.saved_file)

@@ -71,7 +71,8 @@ def build_stage_fn(model, stage: str):
                 return jnp.sum(jnp.where(prop_valid, prop_scores, 0.0))
             levels = ops.assign_fpn_level(proposals)
             roi = ops.roi_align_multilevel(
-                [feats[lvl - 2][0] for lvl in range(2, 6)], proposals, levels, STRIDES[:4]
+                [feats[lvl - 2][0] for lvl in range(2, 6)], proposals, levels, STRIDES[:4],
+                sampling=model.roi_sampling,
             ).astype(model.dtype)
             if stage == "align":
                 return jnp.sum(roi.astype(jnp.float32))
@@ -110,6 +111,7 @@ def main() -> None:
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--stages", type=str, default="convs,props,roi,full")
     p.add_argument("--dtype", type=str, default="bfloat16")
+    p.add_argument("--roi-sampling", type=int, default=2)
     args = p.parse_args()
 
     from tise_tpu.backbones.detection.predictor import PIXEL_MEAN_BGR
@@ -119,7 +121,7 @@ def main() -> None:
     compile_cache.enable()
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     size, mb = args.size, args.mb
-    model = FasterRCNN(dtype=dtype)
+    model = FasterRCNN(dtype=dtype, roi_sampling=args.roi_sampling)
     t0 = time.perf_counter()
     params = jax.jit(lambda r: model.init(r, jnp.zeros((size, size, 3), dtype)))(
         jax.random.PRNGKey(0)
