@@ -50,10 +50,13 @@ def detector_images_per_sec(on_tpu: bool) -> dict | None:
     one dispatch via lax.map + fori_loop so the tunnel's ~10 ms/dispatch tax
     amortizes like the extraction bench.  Random weights — identical compute
     to the real sweep.  Two lines: ``detector_images_per_sec`` is the default
-    config (roi_sampling=2); ``detector_fast_images_per_sec`` is the opt-in
-    ``--roi-sampling 1`` sweep mode (~4x less ROIAlign HBM traffic, detection
-    agreement quantified in tests/test_detection.py).  Returns None on
-    failure so the primary metric line always prints."""
+    config (roi_sampling=2, 1000 proposals — detectron2 test-time parity);
+    ``detector_fast_images_per_sec`` is the opt-in sweep preset
+    ``--roi-sampling 1 --proposals 256`` (bin-center ROIAlign sampling +
+    post-NMS top-k cut — the gather floor scales with samples x proposals;
+    detection agreement for both knobs quantified in
+    tests/test_detection.py).  Returns None on failure so the primary metric
+    line always prints."""
     try:
         from tise_tpu.backbones.detection.predictor import PIXEL_MEAN_BGR
         from tise_tpu.backbones.detection.rcnn import FasterRCNN
@@ -68,7 +71,7 @@ def detector_images_per_sec(on_tpu: bool) -> dict | None:
         _mark("detector: init (jitted)")
         models = {
             "detector_images_per_sec": FasterRCNN(dtype=dtype, roi_sampling=2),
-            "detector_fast_images_per_sec": FasterRCNN(dtype=dtype, roi_sampling=1),
+            "detector_fast_images_per_sec": FasterRCNN(dtype=dtype, roi_sampling=1, post_nms_topk=256),
         }
         params = jax.jit(
             lambda r: models["detector_images_per_sec"].init(r, jnp.zeros((size, size, 3), dtype))

@@ -233,6 +233,50 @@ class TestBf16Equivalence:
         assert matched(r2, r1) >= 0.85
         assert matched(r1, r2) >= 0.85
 
+    def test_proposals_256_agreement(self):
+        """The --proposals 256 sweep accelerator (post-NMS top-k cut from
+        detectron2's 1000) must agree with the default on detections.
+        Proposals are score-ordered, so k=256 keeps exactly the top-scoring
+        prefix of the default's proposal set; final detections should
+        overwhelmingly decode from that prefix.  The measured agreement here
+        is what the CLI flag's help text cites."""
+        from tise_tpu.backbones.detection.rcnn import FasterRCNN
+
+        size = 128
+        img = _blob_image(size)
+        m1000 = FasterRCNN(dtype=jnp.float32)
+        m256 = FasterRCNN(dtype=jnp.float32, post_nms_topk=256)
+        params = self._sharpen(m1000.init(jax.random.PRNGKey(0), jnp.zeros((size, size, 3))))
+        d1000 = jax.jit(m1000.apply)(params, jnp.asarray(img))
+        d256 = jax.jit(m256.apply)(params, jnp.asarray(img))
+
+        def rows(det):
+            return [
+                (int(det.classes[i]), np.asarray(det.boxes[i]), float(det.scores[i]))
+                for i in range(det.valid.shape[0])
+                if bool(det.valid[i])
+            ]
+
+        r1000, r256 = rows(d1000), rows(d256)
+        assert len(r1000) > 0, "sharpened random weights produced no detections"
+
+        def matched(a, b):
+            hits = 0
+            for ca, ba, sa in a:
+                for cb, bb, sb in b:
+                    if ca != cb or abs(sa - sb) > 0.05:
+                        continue
+                    iou = float(np.asarray(ops.box_iou(jnp.asarray(ba[None]), jnp.asarray(bb[None])))[0, 0])
+                    if iou > 0.85:
+                        hits += 1
+                        break
+            return hits / max(len(a), 1)
+
+        # every detection of the truncated run must exist in the default run;
+        # the default may keep a small tail the truncation loses
+        assert matched(r256, r1000) >= 0.9
+        assert matched(r1000, r256) >= 0.85
+
 
 def _blob_image(size: int, seed: int = 3) -> np.ndarray:
     """Smooth multi-blob image: structured activations, not noise."""

@@ -115,6 +115,7 @@ class TPUDetector:
         micro_batch: Optional[int] = None,
         score_thresh: float = 0.5,
         roi_sampling: int = 2,
+        proposals: int = 1000,
     ):
         """``aspect_buckets``: enable detectron2-parity aspect-preserving
         resize (ResizeShortestEdge 800/1333) with zero-padding to one of the
@@ -151,7 +152,10 @@ class TPUDetector:
         self.micro_batch = mb
         self._n_chunks = batch_size // mb
         self.input_size = input_size
-        model = FasterRCNN(dtype=dtype, score_thresh=score_thresh, roi_sampling=roi_sampling)
+        model = FasterRCNN(
+            dtype=dtype, score_thresh=score_thresh, roi_sampling=roi_sampling,
+            post_nms_topk=proposals,
+        )
         if weights_path:
             params = load_detectron2_pkl(weights_path)
         else:  # random init (tests / smoke)
@@ -316,11 +320,13 @@ def make_folder_detector(
     aspect_resize: bool = False,
     precision: str = "highest",
     roi_sampling: int = 2,
+    proposals: int = 1000,
 ) -> Callable:
     """``precision='fast'`` selects the bf16 forward (f32 epilogues,
     detection-equivalent within score tolerance — tests/test_detection.py)
     and a larger default batch; 'highest' keeps full f32.  ``roi_sampling=1``
-    is the opt-in sweep accelerator (see FasterRCNN.roi_sampling)."""
+    and ``proposals`` (post-NMS top-k, default detectron2's 1000) are the
+    opt-in sweep accelerators (see FasterRCNN)."""
     fast = precision == "fast"
     if batch_size is None:
         batch_size = 32 if fast else 4
@@ -330,5 +336,6 @@ def make_folder_detector(
         dtype=jnp.bfloat16 if fast else jnp.float32,
         aspect_buckets=DEFAULT_BUCKETS if aspect_resize else None,
         roi_sampling=roi_sampling,
+        proposals=proposals,
     )
     return det.detect_files

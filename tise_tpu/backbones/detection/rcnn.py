@@ -149,11 +149,21 @@ class FasterRCNN(nn.Module):
     semantics) — ~4x less ROIAlign HBM traffic, detection agreement
     quantified in tests/test_detection.py — the opt-in fast knob for bulk
     sweeps (SOA's 80 labels x ~30k images).
+
+    ``post_nms_topk``: proposals kept after RPN NMS
+    (cfg.MODEL.RPN.POST_NMS_TOPK_TEST, detectron2 FPN default 1000).  The
+    ROIAlign gather and box head scale linearly with it, and the gather is
+    the sweep's measured floor (ROADMAP.md) — lowering it to 256 is the
+    second opt-in sweep knob.  Proposals are score-ordered, so a smaller k
+    keeps exactly the top-scoring prefix; final detections (score > 0.5
+    survivors of per-class NMS) overwhelmingly decode from top-ranked
+    proposals — agreement quantified in tests/test_detection.py.
     """
 
     dtype: Any = jnp.float32
     score_thresh: float = 0.5
     roi_sampling: int = 2
+    post_nms_topk: int = POST_NMS_TOPK
 
     def setup(self):
         self.backbone = ResNet50(dtype=self.dtype)
@@ -193,7 +203,7 @@ class FasterRCNN(nn.Module):
             all_scores.append(jnp.where(keep, top_scores, -jnp.inf))
         boxes = jnp.concatenate(all_boxes)
         scores = jnp.concatenate(all_scores)
-        k = min(POST_NMS_TOPK, scores.shape[0])
+        k = min(self.post_nms_topk, scores.shape[0])
         prop_scores, idx = jax.lax.top_k(scores, k)
         proposals = boxes[idx]  # [K, 4]
         prop_valid = jnp.isfinite(prop_scores)

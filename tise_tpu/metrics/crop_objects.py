@@ -82,6 +82,12 @@ def main(argv=None) -> None:
                         "(~4x less ROIAlign HBM traffic, detection agreement "
                         "quantified in tests/test_detection.py), 2 = default "
                         "detectron2-adaptive-grid approximation")
+    p.add_argument("--proposals", type=int, default=1000,
+                   help="post-NMS RPN proposals kept (detectron2 "
+                        "POST_NMS_TOPK_TEST default 1000); the ROIAlign gather "
+                        "scales linearly with it — 256 is the opt-in sweep "
+                        "setting (detection agreement quantified in "
+                        "tests/test_detection.py)")
     add_precision_flag(p)
     add_distributed_flags(p)
     args = p.parse_args(argv)
@@ -92,7 +98,7 @@ def main(argv=None) -> None:
 
     detector = det.make_folder_detector(
         args.weights, aspect_resize=args.aspect_resize, precision=args.precision,
-        roi_sampling=args.roi_sampling,
+        roi_sampling=args.roi_sampling, proposals=args.proposals,
     )
     n = crop_folder(detector, args.source_image_dir, args.saved_cropped_object_dir)
     print(f"wrote {n} crops to {args.saved_cropped_object_dir}")

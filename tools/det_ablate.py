@@ -63,7 +63,7 @@ def build_stage_fn(model, stage: str):
                 all_scores.append(jnp.where(keep, top_scores, -jnp.inf))
             boxes = jnp.concatenate(all_boxes)
             scores = jnp.concatenate(all_scores)
-            k = min(POST_NMS_TOPK, scores.shape[0])
+            k = min(model.post_nms_topk, scores.shape[0])
             prop_scores, idx = jax.lax.top_k(scores, k)
             proposals = boxes[idx]
             prop_valid = jnp.isfinite(prop_scores)
@@ -112,6 +112,7 @@ def main() -> None:
     p.add_argument("--stages", type=str, default="convs,props,roi,full")
     p.add_argument("--dtype", type=str, default="bfloat16")
     p.add_argument("--roi-sampling", type=int, default=2)
+    p.add_argument("--proposals", type=int, default=1000)
     args = p.parse_args()
 
     from tise_tpu.backbones.detection.predictor import PIXEL_MEAN_BGR
@@ -121,7 +122,7 @@ def main() -> None:
     compile_cache.enable()
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     size, mb = args.size, args.mb
-    model = FasterRCNN(dtype=dtype, roi_sampling=args.roi_sampling)
+    model = FasterRCNN(dtype=dtype, roi_sampling=args.roi_sampling, post_nms_topk=args.proposals)
     t0 = time.perf_counter()
     params = jax.jit(lambda r: model.init(r, jnp.zeros((size, size, 3), dtype)))(
         jax.random.PRNGKey(0)
