@@ -161,6 +161,16 @@ def fid30k_pipeline(on_tpu: bool) -> dict | None:
             acts = fast(x.astype(dtype), endpoints=("pool3",))["pool3"].astype(jnp.float32)
             return stats.update_moments(state, acts)
 
+        @jax.jit
+        def finish(sa, sb):
+            # finalize + frechet fused on device: ONE dispatch, ONE scalar
+            # pulled (the host-f64 finalize pulls two 2048^2 covariances
+            # through the ~40 MB/s tunnel and re-uploads them for the NS
+            # matmuls — measured as most of the old ~1 s tail)
+            return sqrtm_lib.frechet_distance_device(
+                *stats.finalize_moments_f32(sa), *stats.finalize_moments_f32(sb)
+            )
+
         host = np.random.RandomState(7)
         pool = [
             jax.device_put(host.randint(0, 256, (batch, src, src, 3)).astype(np.uint8))
@@ -171,7 +181,7 @@ def fid30k_pipeline(on_tpu: bool) -> dict | None:
             int(touch(p))
         _mark("fid30k: compile+warm")
         warm = step(stats.init_moments(2048), pool[0], jnp.uint8(255))
-        float(warm.count)  # sync
+        float(finish(warm, warm))  # compile + sync both programs
 
         half = n_batches // 2
         n_imgs = 2 * half * batch
@@ -186,8 +196,7 @@ def fid30k_pipeline(on_tpu: bool) -> dict | None:
                     b = attempt * n_batches + h * half + i
                     s = step(s, pool[b % pool_n], jnp.uint8(b % 255))
                 states.append(s)
-            mus, sigmas = zip(*(stats.finalize_moments(s) for s in states))
-            fid = sqrtm_lib.frechet_distance(mus[0], sigmas[0], mus[1], sigmas[1], method="ns")
+            fid = float(finish(states[0], states[1]))
             dt = time.perf_counter() - t0
             _mark(f"fid30k: {n_imgs} imgs in {dt:.2f}s (fid={fid:.4f})")
             best = dt if best is None else min(best, dt)

@@ -71,6 +71,26 @@ class TestSqrtm:
         d = sqrtm.frechet_distance(mu, sigma, mu, sigma, method=method)
         assert abs(d) < (1e-2 if method == "ns" else 1e-6)
 
+    def test_frechet_device_one_dispatch_path(self, rng):
+        """finalize_moments_f32 + frechet_distance_device (the fused
+        streaming fast path: one dispatch, one scalar pulled) must agree
+        with the host f64 finalize + scipy frechet to ns-class tolerance."""
+        import jax.numpy as jnp
+
+        acts1 = rng.randn(400, 48).astype(np.float32) * 0.5 + 0.2
+        acts2 = rng.randn(400, 48).astype(np.float32) * 0.7 - 0.1
+        sa = stats.update_moments(stats.init_moments(48), jnp.asarray(acts1))
+        sb = stats.update_moments(stats.init_moments(48), jnp.asarray(acts2))
+        got = float(
+            sqrtm.frechet_distance_device(
+                *stats.finalize_moments_f32(sa), *stats.finalize_moments_f32(sb)
+            )
+        )
+        ref = sqrtm.frechet_distance(
+            *stats.finalize_moments(sa), *stats.finalize_moments(sb), method="scipy"
+        )
+        assert abs(got - ref) / abs(ref) < 1e-3
+
     def test_frechet_reference_formula(self, rng):
         """Cross-check the full distance vs an independent direct computation."""
         mu1, mu2 = rng.randn(16), rng.randn(16)

@@ -82,6 +82,24 @@ def psum_moments(state: MomentState, axis_name: str) -> MomentState:
     )
 
 
+def finalize_moments_f32(state: MomentState) -> tuple[jax.Array, jax.Array]:
+    """Device float32 finalisation -> (mu, sigma); jittable.
+
+    The fast-path companion of ``finalize_moments``: keeps the sufficient
+    statistics on device so a streaming FID can go moments -> frechet in ONE
+    dispatch with only a scalar pulled back (the host f64 path pulls two
+    dim^2 covariances through the interconnect and re-uploads them for a
+    device sqrtm).  f32 precision is the same class as the "ns" sqrtm it
+    pairs with (~1e-3 relative); parity runs keep ``finalize_moments`` +
+    eigh/scipy.
+    """
+    n = state.count.astype(jnp.float32)
+    mu = state.total / n
+    sigma = (state.outer - n * jnp.outer(mu, mu)) / (n - 1.0)
+    sigma = 0.5 * (sigma + sigma.T)
+    return mu, sigma
+
+
 def finalize_moments(state: MomentState) -> tuple[np.ndarray, np.ndarray]:
     """Host float64 finalisation -> (mu, sigma).
 
