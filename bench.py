@@ -107,6 +107,71 @@ def detector_images_per_sec(on_tpu: bool) -> dict | None:
             outs = [fwd(params, imgs, s) for s in seeds[1:]]
             float(outs[-1])
             out[key] = round(batch * chain * iters / (time.perf_counter() - t0), 2)
+
+        # ---- end-to-end sweep line: the production detect_files loop ----
+        # (reference SOA.py:86-90 / crop_object.py:29-33).  Per-batch dispatch
+        # with the sweep preset (bf16, roi_sampling=1, 256 proposals), ONE
+        # packed [B, D, 7] blocking pull per batch, 1-deep dispatch
+        # pipelining, and the per-image Python box collection — exactly what
+        # TPUDetector.detect_files does, with host decode excluded like
+        # fid30k (pre-staged uint8, salt-cycled to defeat the tunnel's
+        # result cache).  Two passes, best reported (transport artifact —
+        # see fid30k_pipeline docstring).
+        from tise_tpu.backbones.detection.coco_classes import COCO_CLASSES
+
+        fast_model = models["detector_fast_images_per_sec"]
+
+        def single_fast(p, img_u8):
+            x = (img_u8.astype(jnp.float32) - jnp.asarray(PIXEL_MEAN_BGR)).astype(dtype)
+            return fast_model.apply(p, x)
+
+        @jax.jit
+        def sweep_fwd(p, imgs_u8, salt):
+            x = jnp.bitwise_xor(imgs_u8, salt)
+            det = jax.lax.map(lambda ch: jax.vmap(single_fast, in_axes=(None, 0))(p, ch), x)
+            packed = jnp.concatenate(
+                [
+                    det.boxes.astype(jnp.float32),
+                    det.scores.astype(jnp.float32)[..., None],
+                    det.classes.astype(jnp.float32)[..., None],
+                    det.valid.astype(jnp.float32)[..., None],
+                ],
+                axis=-1,
+            )
+            return packed.reshape((-1,) + packed.shape[2:])
+
+        def collect(results, det_dev):
+            p = np.asarray(det_dev)  # single blocking pull
+            b, s, c, v = p[..., :4], p[..., 4], p[..., 5].astype(np.int64), p[..., 6] > 0.5
+            for i in range(p.shape[0]):
+                names, ids, bxs = [], [], []
+                for j in range(p.shape[1]):
+                    if not v[i, j]:
+                        continue
+                    names.append(COCO_CLASSES[int(c[i, j])])
+                    ids.append(int(c[i, j]))
+                    bxs.append(b[i, j])
+                results.append((names, ids, bxs))
+
+        n_batches = 24 if on_tpu else 2
+        _mark("detector: sweep e2e compile+warm")
+        collect([], sweep_fwd(params, imgs, jnp.uint8(255)))
+        best = None
+        for attempt in range(2):
+            _mark(f"detector: sweep e2e timing (pass {attempt + 1})")
+            results: list = []
+            inflight = None
+            t0 = time.perf_counter()
+            for bi in range(n_batches):
+                det = sweep_fwd(params, imgs, jnp.uint8(1 + attempt * n_batches + bi))
+                if inflight is not None:
+                    collect(results, inflight)
+                inflight = det
+            collect(results, inflight)
+            dt = time.perf_counter() - t0
+            assert len(results) == n_batches * batch
+            best = dt if best is None else min(best, dt)
+        out["soa_sweep_images_per_sec"] = round(n_batches * batch / best, 2)
         return out
     except Exception as e:  # noqa: BLE001 — primary metric must still print
         _mark(f"detector bench failed: {type(e).__name__}: {e}")

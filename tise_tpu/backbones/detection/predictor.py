@@ -18,8 +18,12 @@ postprocessing.
 
 The per-image forward is vmapped and jitted once with its batch axis sharded
 over the mesh's ``data`` axis (the SOA sweep — 80 labels x ~30k images — is
-the reference's longest pipeline and scales linearly over chips); a host
-thread pool decodes and resizes ahead of the device.
+the reference's longest pipeline and scales linearly over chips).  The sweep
+loop is fully pipelined: a host thread pool decodes the NEXT chunk while the
+device runs the current one (``_double_buffer``), dispatches run 1-deep ahead
+of the blocking result pull, and the 4 per-image output arrays are packed
+into ONE device buffer so each batch costs a single host round-trip
+(bench.py's ``soa_sweep_images_per_sec`` measures this loop end to end).
 """
 
 from __future__ import annotations
@@ -99,6 +103,24 @@ def load_bgr_image_bucketed(
     return canvas, (oh, ow), (rh, rw), bi
 
 
+def _double_buffer(chunks, decode):
+    """Yield ``(chunk, decode(chunk))`` with the NEXT chunk's decode already
+    running while the caller dispatches/blocks on the device for the current
+    one (the extraction pipeline's BatchedExtractor does the same; without it
+    the sweep alternates host decode and device compute serially).  A
+    dedicated 1-thread runner drives the prefetch so the shared decode pool
+    is never saturated by orchestration tasks."""
+    if not chunks:
+        return
+    with ThreadPoolExecutor(max_workers=1) as runner:
+        pending = runner.submit(decode, chunks[0])
+        for i, chunk in enumerate(chunks):
+            decoded = pending.result()
+            if i + 1 < len(chunks):
+                pending = runner.submit(decode, chunks[i + 1])
+            yield chunk, decoded
+
+
 class TPUDetector:
     """Batched static-shape Mask R-CNN inference engine."""
 
@@ -170,7 +192,20 @@ class TPUDetector:
         def chained(fn):
             def fwd(p, *chunked):  # leading [n_chunks, mb, ...] axes
                 det = jax.lax.map(lambda args: fn(p, *args), chunked)
-                return jax.tree.map(lambda a: a.reshape((-1,) + a.shape[2:]), det)
+                # pack the 4 output arrays into ONE [B, D, 7] f32 buffer so
+                # the host needs a single blocking transfer per batch (4
+                # separate pulls pay 4 round-trips on any remote-dispatch
+                # transport; classes 0..79 are exact in f32)
+                packed = jnp.concatenate(
+                    [
+                        det.boxes.astype(jnp.float32),
+                        det.scores.astype(jnp.float32)[..., None],
+                        det.classes.astype(jnp.float32)[..., None],
+                        det.valid.astype(jnp.float32)[..., None],
+                    ],
+                    axis=-1,
+                )
+                return packed.reshape((-1,) + packed.shape[2:])
 
             return fwd
 
@@ -205,12 +240,14 @@ class TPUDetector:
         ``detect_files`` pads the tail chunk up to it.
         """
         det = self._fwd(self.params, jax.device_put(self._chunked(images_u8_bgr), self._batch_sharding))
-        return (
-            np.asarray(det.boxes),
-            np.asarray(det.scores),
-            np.asarray(det.classes),
-            np.asarray(det.valid),
-        )
+        return self._unpack(det)
+
+    @staticmethod
+    def _unpack(packed) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """[B, D, 7] device buffer -> (boxes, scores, classes, valid) host
+        arrays with ONE blocking transfer."""
+        p = np.asarray(packed)
+        return p[..., :4], p[..., 4], p[..., 5].astype(np.int64), p[..., 6] > 0.5
 
     def _collect(self, out, path, det_row, scale_xy):
         boxes, scores, classes, valid = det_row
@@ -250,33 +287,46 @@ class TPUDetector:
             groups: Dict[int, List[int]] = {}
             for i, bi in enumerate(buckets_of):
                 groups.setdefault(bi, []).append(i)
-            for bi, idxs in groups.items():
-                for start in range(0, len(idxs), self.batch_size):
-                    chunk = idxs[start : start + self.batch_size]
-                    decoded = list(
-                        pool.map(
-                            lambda i: load_bgr_image_bucketed(
-                                files[i], self.aspect_buckets, self.aspect_short, self.aspect_max
-                            ),
-                            chunk,
-                        )
+            chunks = [
+                idxs[start : start + self.batch_size]
+                for idxs in groups.values()
+                for start in range(0, len(idxs), self.batch_size)
+            ]
+
+            def decode(chunk):
+                return list(
+                    pool.map(
+                        lambda i: load_bgr_image_bucketed(
+                            files[i], self.aspect_buckets, self.aspect_short, self.aspect_max
+                        ),
+                        chunk,
                     )
-                    imgs = np.stack([d[0] for d in decoded])
-                    hw = np.asarray([d[2] for d in decoded], np.float32)
-                    if len(chunk) < self.batch_size:
-                        npad = self.batch_size - len(chunk)
-                        imgs = np.concatenate([imgs, np.zeros((npad,) + imgs.shape[1:], imgs.dtype)])
-                        hw = np.concatenate([hw, np.ones((npad, 2), np.float32)])
-                    det = self._fwd_hw(
-                        self.params,
-                        jax.device_put(self._chunked(imgs), self._batch_sharding),
-                        jax.device_put(self._chunked(hw), self._hw_sharding),
-                    )
-                    b, s, c, v = (np.asarray(det.boxes), np.asarray(det.scores),
-                                  np.asarray(det.classes), np.asarray(det.valid))
-                    for row, i in enumerate(chunk):
-                        (oh, ow), (rh, rw) = decoded[row][1], decoded[row][2]
-                        self._collect(out, files[i], (b[row], s[row], c[row], v[row]), (oh / rh, ow / rw))
+                )
+
+            def drain(chunk, decoded, det):
+                b, s, c, v = self._unpack(det)  # blocking pull
+                for row, i in enumerate(chunk):
+                    (oh, ow), (rh, rw) = decoded[row][1], decoded[row][2]
+                    self._collect(out, files[i], (b[row], s[row], c[row], v[row]), (oh / rh, ow / rw))
+
+            inflight = None  # 1-deep: dispatch batch i+1 before pulling batch i
+            for chunk, decoded in _double_buffer(chunks, decode):
+                imgs = np.stack([d[0] for d in decoded])
+                hw = np.asarray([d[2] for d in decoded], np.float32)
+                if len(chunk) < self.batch_size:
+                    npad = self.batch_size - len(chunk)
+                    imgs = np.concatenate([imgs, np.zeros((npad,) + imgs.shape[1:], imgs.dtype)])
+                    hw = np.concatenate([hw, np.ones((npad, 2), np.float32)])
+                det = self._fwd_hw(
+                    self.params,
+                    jax.device_put(self._chunked(imgs), self._batch_sharding),
+                    jax.device_put(self._chunked(hw), self._hw_sharding),
+                )
+                if inflight is not None:
+                    drain(*inflight)
+                inflight = (chunk, decoded, det)
+            if inflight is not None:
+                drain(*inflight)
         return out
 
     def detect_files(
@@ -287,30 +337,31 @@ class TPUDetector:
         if self.aspect_buckets:
             return self.detect_files_bucketed(files, num_workers)
         out: Dict[str, Tuple[List[str], List[int], List[np.ndarray]]] = {}
+        chunks = [list(files[s : s + self.batch_size]) for s in range(0, len(files), self.batch_size)]
         with ThreadPoolExecutor(max_workers=num_workers) as pool:
-            for start in range(0, len(files), self.batch_size):
-                chunk = list(files[start : start + self.batch_size])
-                decoded = list(pool.map(lambda f: load_bgr_image(f, self.input_size), chunk))
+
+            def decode(chunk):
+                return list(pool.map(lambda f: load_bgr_image(f, self.input_size), chunk))
+
+            def drain(chunk, decoded, det):
+                boxes, scores, classes, valid = self._unpack(det)  # blocking pull
+                for i, path in enumerate(chunk):
+                    oh, ow = decoded[i][1]
+                    sy, sx = oh / self.input_size, ow / self.input_size
+                    self._collect(out, path, (boxes[i], scores[i], classes[i], valid[i]), (sy, sx))
+
+            inflight = None  # 1-deep: dispatch batch i+1 before pulling batch i
+            for chunk, decoded in _double_buffer(chunks, decode):
                 imgs = np.stack([d[0] for d in decoded])
                 if len(chunk) < self.batch_size:  # pad to static batch
                     pad = np.zeros((self.batch_size - len(chunk),) + imgs.shape[1:], imgs.dtype)
                     imgs = np.concatenate([imgs, pad])
-                boxes, scores, classes, valid = self.detect_batch(imgs)
-                for i, path in enumerate(chunk):
-                    oh, ow = decoded[i][1]
-                    sy, sx = oh / self.input_size, ow / self.input_size
-                    names: List[str] = []
-                    ids: List[int] = []
-                    bxs: List[np.ndarray] = []
-                    for j in range(boxes.shape[1]):
-                        if not valid[i, j]:
-                            continue
-                        cls = int(classes[i, j])
-                        b = boxes[i, j] * np.array([sx, sy, sx, sy], np.float32)
-                        names.append(COCO_CLASSES[cls])
-                        ids.append(cls)
-                        bxs.append(b)
-                    out[path] = (names, ids, bxs)
+                det = self._fwd(self.params, jax.device_put(self._chunked(imgs), self._batch_sharding))
+                if inflight is not None:
+                    drain(*inflight)
+                inflight = (chunk, decoded, det)
+            if inflight is not None:
+                drain(*inflight)
         return out
 
 
