@@ -212,3 +212,42 @@ class TestDistributedInit:
         )
         assert proc.returncode == 0, proc.stderr[-2000:]
         assert "DIST_OK 1" in proc.stdout
+
+
+class TestCompileCache:
+    """The AOT-reload warning filter must drop exactly the proven-spurious
+    prefer-no-* pseudo-feature mismatch (core/compile_cache.py) and nothing
+    else."""
+
+    _TMPL = (
+        b"E0818 06:52:34.278201 4685 cpu_aot_loader.cc:210] Loading XLA:CPU "
+        b"AOT result. Target machine feature +prefer-no-gather is not  "
+        b"supported on the host machine. Machine type used for XLA:CPU "
+        b"compilation doesn't match the machine type for execution. "
+        b"Compile machine features: [%b] vs host machine features: [%b]. "
+        b"This could lead to execution errors such as SIGILL."
+    )
+
+    def test_spurious_pseudo_feature_diff_dropped(self):
+        from tise_tpu.core.compile_cache import _aot_warning_is_spurious
+
+        line = self._TMPL % (
+            b"+64bit,+avx,+avx2,+prefer-no-scatter,+prefer-no-gather,-fma4",
+            b"64bit,avx,avx2",
+        )
+        assert _aot_warning_is_spurious(line)
+
+    def test_real_feature_mismatch_kept(self):
+        from tise_tpu.core.compile_cache import _aot_warning_is_spurious
+
+        line = self._TMPL % (
+            b"+64bit,+avx,+avx2,+avx512f,+prefer-no-gather",
+            b"64bit,avx,avx2",  # host really lacks avx512f -> genuine risk
+        )
+        assert not _aot_warning_is_spurious(line)
+
+    def test_unrelated_stderr_kept(self):
+        from tise_tpu.core.compile_cache import _aot_warning_is_spurious
+
+        assert not _aot_warning_is_spurious(b"Traceback (most recent call last):")
+        assert not _aot_warning_is_spurious(b"Compile machine features: [+avx]")

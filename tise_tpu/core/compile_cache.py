@@ -10,9 +10,12 @@ invocation (the jit_train_step compile alone is ~4 min on a 1-CPU host).
 
 from __future__ import annotations
 
+import atexit
 import hashlib
 import os
 import platform
+import re
+import threading
 
 
 def machine_key() -> str:
@@ -41,6 +44,83 @@ def machine_key() -> str:
 
 def cache_dir() -> str:
     return f"/tmp/tise_tpu_test_jax_cache_{machine_key()}"
+
+
+_AOT_LINE = re.compile(
+    rb"Compile machine features: \[([^\]]*)\] vs host machine features: \[([^\]]*)\]"
+)
+_SPURIOUS_FEATURES = {b"prefer-no-gather", b"prefer-no-scatter"}
+_filter_installed = False
+
+
+def _aot_warning_is_spurious(line: bytes) -> bool:
+    """True iff ``line`` is the cpu_aot_loader machine-feature warning AND the
+    only compile-side features missing from the host probe are XLA's
+    prefer-no-gather/scatter *tuning* pseudo-features.
+
+    Measured on this host (round 3): a two-process run compiling then
+    reloading the same persistent-cache entry on the SAME machine emits the
+    warning — LLVM appends the prefer-no-* tuning preferences to the compile
+    target features, but the loader's host-feature probe never lists them, so
+    every same-machine AOT reload "mismatches".  No cache key can fix a
+    comparison that is wrong on identical machines; we drop exactly that
+    case and pass every other feature diff through untouched (a real
+    cross-machine mismatch still warns, which machine_key() should prevent)."""
+    if b"Machine type used for XLA:CPU compilation" not in line:
+        return False
+    m = _AOT_LINE.search(line)
+    if not m:
+        return False
+    compiled = {
+        f.strip()[1:]
+        for f in m.group(1).split(b",")
+        if f.strip().startswith(b"+")
+    }
+    host = {f.strip() for f in m.group(2).split(b",")}
+    return (compiled - host) <= _SPURIOUS_FEATURES
+
+
+def install_spurious_aot_warning_filter() -> None:
+    """Route fd 2 through a line filter dropping the proven-spurious AOT
+    reload warning (see ``_aot_warning_is_spurious``).  Driver-facing entry
+    points only — pytest manages its own fd-2 capture."""
+    global _filter_installed
+    if _filter_installed:
+        return
+    _filter_installed = True
+    real = os.dup(2)
+    rd, wr = os.pipe()
+    os.dup2(wr, 2)
+    os.close(wr)
+
+    def pump() -> None:
+        buf = b""
+        while True:
+            try:
+                chunk = os.read(rd, 1 << 16)
+            except OSError:
+                break
+            if not chunk:
+                break
+            buf += chunk
+            *lines, buf = buf.split(b"\n")
+            for ln in lines:
+                if not _aot_warning_is_spurious(ln):
+                    os.write(real, ln + b"\n")
+        if buf:
+            os.write(real, buf)
+
+    t = threading.Thread(target=pump, daemon=True, name="aot-warning-filter")
+    t.start()
+
+    def restore() -> None:
+        # point fd 2 back at the terminal; dup2 closes the pipe's only write
+        # end, so the pump drains the remainder, hits EOF, and exits before
+        # the interpreter tears daemon threads down
+        os.dup2(real, 2)
+        t.join(timeout=5)
+
+    atexit.register(restore)
 
 
 def enable(min_compile_secs: float = 1.0) -> str:
