@@ -53,10 +53,14 @@ def _mm_kernel(nsteps, x_ref, w_ref, o_ref):
     o_ref[...] = jnp.reshape(s, (1, 1))
 
 
-def time_shape(m, k, n, nsteps=400, reps=3):
+def time_shape(m, k, n, nsteps=16384, reps=3):
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (m, k), jnp.bfloat16)
     w = jax.random.normal(key, (k, n), jnp.bfloat16)
+    # axon result-caches IDENTICAL calls server-side (CLAUDE.md) — every
+    # timed call must get a distinct salted input
+    xs = [(x + jnp.bfloat16(i * 1e-3)) for i in range(2 * reps)]
+    jax.block_until_ready(xs)
 
     def run(steps):
         f = pl.pallas_call(
@@ -66,18 +70,17 @@ def time_shape(m, k, n, nsteps=400, reps=3):
         return jax.jit(f)
 
     f_long, f_short = run(nsteps), run(nsteps // 8)
-    # warm up + force real execution (axon result-caches identical calls; the
-    # differing step counts make the two calls distinct executables)
-    f_long(x, w).block_until_ready()
-    f_short(x, w).block_until_ready()
+    f_long(x, w)[0, 0].item()  # warm-up compiles
+    f_short(x, w)[0, 0].item()
     best = np.inf
-    for _ in range(reps):
+    for r in range(reps):
         t0 = time.perf_counter()
-        f_long(x, w)[0, 0].item()
+        f_long(xs[2 * r], w)[0, 0].item()
         t1 = time.perf_counter()
-        f_short(x, w)[0, 0].item()
+        f_short(xs[2 * r + 1], w)[0, 0].item()
         t2 = time.perf_counter()
-        # differencing removes dispatch/tunnel tax and the one-time x load
+        # differencing removes the ~28 ms tunnel RTT + dispatch tax; the
+        # 14k-dot step delta keeps the measured window >> tunnel jitter
         per = ((t1 - t0) - (t2 - t1)) / (nsteps - nsteps // 8)
         best = min(best, per)
     flops = 2 * m * k * n
@@ -92,7 +95,9 @@ def main():
         ("conv2a  K288 N32", 2352, 288, 32),
         ("conv2b  K288 N64", 2352, 288, 64),
         ("ablock5x5 K1200 N64", 1225, 1200, 64),
-        ("control K1152 N128", 2352, 1152, 128),
+        # M halved vs the stem strips: [2352,1152]x f32 accum overflows the
+        # 16 MB VMEM scoped limit by 193 KB (measured)
+        ("control K1152 N128", 1176, 1152, 128),
     ]
     rates = {}
     for name, m, k, n in shapes:
