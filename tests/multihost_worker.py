@@ -39,8 +39,21 @@ def main() -> None:
     local = np.asarray([float(len(p)) for p in sel])
     lengths = multihost.allgather_rows(local, gidx, len(files))
 
+    # f64 payload: the bytes-gather must preserve the dtype exactly — a
+    # jax-array round-trip with x64 disabled would downcast to f32 and lose
+    # pi's low mantissa bits (regression: allgather_rows downcast)
+    pi_rows = multihost.allgather_rows(gidx.astype(np.float64) + np.pi, gidx, len(files))
+
+    # empty-shard path: 1 work item over N processes — the shard-less
+    # process must still enter the same allgathers or the cluster deadlocks
+    # (regression: _run_local returns {} for an empty shard)
+    one_loader = ImageFolderLoader(files[:1], 4, 16)
+    feat_one = extractor.run(one_loader)["feat"]
+
     np.save(f"{folder}/feat_{pid}.npy", feat)
     np.save(f"{folder}/lens_{pid}.npy", lengths)
+    np.save(f"{folder}/pi_{pid}.npy", pi_rows)
+    np.save(f"{folder}/feat_one_{pid}.npy", feat_one)
     multihost.barrier("done")
     print(f"[p{pid}] OK", flush=True)
 

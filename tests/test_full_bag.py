@@ -66,7 +66,14 @@ class TestFullBag:
 
         det_dir = str(world / "detections")
         soa.run_detection(str(images), det_dir, stub_detector, expect_folders=80)
+        # write=False (the non-primary multi-host role) computes identical
+        # scores but must not touch the result files
+        dry = soa.calc_soa(det_dir, str(world / "soa.txt"), write=False)
+        assert not os.path.exists(world / "soa.txt")
+        assert not os.path.exists(os.path.join(det_dir, "result_file.pkl"))
         soa_c, soa_i, _t, _b = soa.calc_soa(det_dir, str(world / "soa.txt"))
+        assert (soa_c, soa_i) == dry[:2]
+        assert os.path.exists(world / "soa.txt")
         assert soa_c == 0.5 and soa_i == 0.5
 
     def test_fid_and_is_on_same_folder(self, world, inception_params):

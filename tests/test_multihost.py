@@ -82,3 +82,10 @@ class TestTwoProcessCluster:
             lens = np.load(os.path.join(folder, f"lens_{pid}.npy"))
             np.testing.assert_array_equal(feat, oracle)
             np.testing.assert_array_equal(lens, oracle_lens)
+            # dtype-preserving gather: f64 payload survives bit-exactly
+            pi_rows = np.load(os.path.join(folder, f"pi_{pid}.npy"))
+            assert pi_rows.dtype == np.float64
+            np.testing.assert_array_equal(pi_rows, np.arange(9, dtype=np.float64) + np.pi)
+            # empty-shard regression: 1 file over 2 processes must not hang
+            feat_one = np.load(os.path.join(folder, f"feat_one_{pid}.npy"))
+            np.testing.assert_array_equal(feat_one, oracle[:1])

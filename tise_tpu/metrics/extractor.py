@@ -111,6 +111,18 @@ class BatchedExtractor:
                 prefetch=loader.prefetch,
             )
             local = self._run_local(sub, keys)
+            if not local:
+                # empty shard (fewer files than processes): this process still
+                # has to enter the SAME allgathers as everyone else or the
+                # cluster deadlocks — learn the output keys/shapes from a
+                # dummy forward and contribute zero rows
+                size = loader.image_size
+                dummy = self(np.zeros((1, size, size, 3), np.uint8))
+                local = {
+                    k: np.zeros((0,) + np.asarray(v).shape[1:], np.asarray(v).dtype)
+                    for k, v in dummy.items()
+                    if keys is None or k in keys
+                }
             return {
                 k: multihost.allgather_rows(v, idx, len(files)) for k, v in local.items()
             }

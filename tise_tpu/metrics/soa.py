@@ -111,8 +111,15 @@ def soa_scores(results: Dict[int, Dict[str, float]]) -> Tuple[float, float, floa
     return soa_c, soa_i, top / (0.5 * n), bot / (0.5 * n)
 
 
-def calc_soa(detected_dir: str, saved_file: str) -> Tuple[float, float, float, float]:
-    """Stage 2 (SOA.py:168-216): aggregate cached detection pickles."""
+def calc_soa(
+    detected_dir: str, saved_file: str, *, write: bool = True
+) -> Tuple[float, float, float, float]:
+    """Stage 2 (SOA.py:168-216): aggregate cached detection pickles.
+
+    ``write=False`` computes/prints without touching the result files —
+    under multi-host every process aggregates (identical inputs via the
+    shared FS) but only process 0 may write, or the concurrent truncating
+    writes race and can tear the pickle."""
     files = [
         os.path.join(detected_dir, f)
         for f in os.listdir(detected_dir)
@@ -128,9 +135,10 @@ def calc_soa(detected_dir: str, saved_file: str) -> Tuple[float, float, float, f
     print(f"Class average accuracy for all classes (SOA-C) is: {soa_c:6.4f}")
     print(f"Image weighted average accuracy (SOA-I) is: {soa_i:6.4f}")
     print(f"Top40 / Bot40: {top40:6.4f} / {bot40:6.4f}")
-    result_io.save_pickle(os.path.join(detected_dir, "result_file.pkl"), results)
-    if saved_file:
-        result_io.write_soa_result(saved_file, soa_c, soa_i, top40, bot40)
+    if write:
+        result_io.save_pickle(os.path.join(detected_dir, "result_file.pkl"), results)
+        if saved_file:
+            result_io.write_soa_result(saved_file, soa_c, soa_i, top40, bot40)
     return soa_c, soa_i, top40, bot40
 
 
@@ -170,7 +178,9 @@ def main(argv=None) -> None:
             roi_sampling=args.roi_sampling, proposals=args.proposals,
         )
         run_detection(args.images, args.detected_results, detector)
-    calc_soa(args.detected_results, args.saved_file)
+    from tise_tpu.parallel import multihost
+
+    calc_soa(args.detected_results, args.saved_file, write=multihost.process_index() == 0)
 
 
 if __name__ == "__main__":

@@ -62,21 +62,27 @@ def allgather_rows(local: np.ndarray, idx: np.ndarray, total: int) -> np.ndarray
     allgather is static-shape.
     """
     local = np.asarray(local)
-    out = np.zeros((total,) + local.shape[1:], local.dtype)
-    if not is_distributed():
-        out[idx] = local
+    row_shape = local.shape[1:]
+    out = np.zeros((total,) + row_shape, local.dtype)
+    if not is_distributed() or total == 0:
+        out[idx[: len(local)]] = local
         return out
     from jax.experimental import multihost_utils as mhu
 
     per = -(-total // process_count())
-    buf = np.zeros((per,) + local.shape[1:], local.dtype)
+    buf = np.zeros((per,) + row_shape, local.dtype)
     buf[: len(local)] = local
     ibuf = np.full((per,), -1, np.int64)
     ibuf[: len(idx)] = idx
-    vals = np.asarray(mhu.process_allgather(buf))  # [nproc, per, ...]
-    idxs = np.asarray(mhu.process_allgather(ibuf))  # [nproc, per]
-    flat_v = vals.reshape((-1,) + local.shape[1:])
-    flat_i = idxs.reshape(-1)
+    # gather raw BYTES: process_allgather round-trips through jax arrays,
+    # which would silently downcast f64/int64 payloads while x64 is disabled
+    # (the default) — a uint8 view is lossless for every dtype
+    bytes_v = np.ascontiguousarray(buf).reshape(per, -1).view(np.uint8)
+    bytes_i = np.ascontiguousarray(ibuf).reshape(per, 1).view(np.uint8)
+    vals = np.asarray(mhu.process_allgather(bytes_v))  # [nproc, per, nbytes]
+    idxs = np.asarray(mhu.process_allgather(bytes_i))  # [nproc, per, 8]
+    flat_v = vals.reshape(-1, vals.shape[-1]).view(local.dtype).reshape((-1,) + row_shape)
+    flat_i = idxs.reshape(-1, 8).view(np.int64).reshape(-1)
     m = flat_i >= 0
     out[flat_i[m]] = flat_v[m]
     return out
