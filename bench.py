@@ -118,6 +118,7 @@ def detector_images_per_sec(on_tpu: bool) -> dict | None:
         # result cache).  Two passes, best reported (transport artifact —
         # see fid30k_pipeline docstring).
         from tise_tpu.backbones.detection.coco_classes import COCO_CLASSES
+        from tise_tpu.backbones.detection.predictor import TPUDetector, pack_detections
 
         fast_model = models["detector_fast_images_per_sec"]
 
@@ -129,23 +130,13 @@ def detector_images_per_sec(on_tpu: bool) -> dict | None:
         def sweep_fwd(p, imgs_u8, salt):
             x = jnp.bitwise_xor(imgs_u8, salt)
             det = jax.lax.map(lambda ch: jax.vmap(single_fast, in_axes=(None, 0))(p, ch), x)
-            packed = jnp.concatenate(
-                [
-                    det.boxes.astype(jnp.float32),
-                    det.scores.astype(jnp.float32)[..., None],
-                    det.classes.astype(jnp.float32)[..., None],
-                    det.valid.astype(jnp.float32)[..., None],
-                ],
-                axis=-1,
-            )
-            return packed.reshape((-1,) + packed.shape[2:])
+            return pack_detections(det)
 
         def collect(results, det_dev):
-            p = np.asarray(det_dev)  # single blocking pull
-            b, s, c, v = p[..., :4], p[..., 4], p[..., 5].astype(np.int64), p[..., 6] > 0.5
-            for i in range(p.shape[0]):
+            b, s, c, v = TPUDetector._unpack(det_dev)  # single blocking pull
+            for i in range(b.shape[0]):
                 names, ids, bxs = [], [], []
-                for j in range(p.shape[1]):
+                for j in range(b.shape[1]):
                     if not v[i, j]:
                         continue
                     names.append(COCO_CLASSES[int(c[i, j])])
@@ -368,7 +359,10 @@ def main() -> None:
     # drop the tower buffers/params before the pipeline benches — live HBM
     # and the big prior executions otherwise perturb the tunnel's dispatch
     # behavior for the runs that follow
-    del d299, d224, outs, inc_params, clip_params, fast_inc, fast_clip, extract
+    # extract_one closes over fast_inc/fast_clip — without deleting it too,
+    # the folded tower weights stay live on device through the pipeline
+    # benches below and perturb their dispatch timing (ROADMAP rule)
+    del d299, d224, outs, inc_params, clip_params, fast_inc, fast_clip, extract, extract_one
     fid_metrics = fid30k_pipeline(on_tpu)
     if fid_metrics is not None:
         line.update(fid_metrics)

@@ -163,6 +163,20 @@ class TestDownload:
         assert out == str(dest)
         assert "skipping" in capsys.readouterr().out
 
+    def test_file_id_with_directory_dest(self, tmp_path, monkeypatch):
+        """--file_id with --dest pointing at an existing directory (notably
+        the '.' default) must download into the directory, not skip because
+        the directory 'exists' (regression)."""
+
+        def fake_fetch(file_id, dest):
+            with open(dest, "wb") as f:
+                f.write(b"payload")
+            return dest
+
+        monkeypatch.setattr(download, "download_from_google_drive", fake_fetch)
+        download.main(["--file_id", "some_id", "--dest", str(tmp_path)])
+        assert (tmp_path / "some_id").read_bytes() == b"payload"
+
 
 class TestMainParser:
     def test_reference_defaults(self):

@@ -91,6 +91,26 @@ class TestSqrtm:
         )
         assert abs(got - ref) / abs(ref) < 1e-3
 
+    def test_frechet_device_bf16_sigmas_cast_first(self, rng):
+        """bf16 sigmas must be upcast ONCE at the top — the trace terms would
+        otherwise accumulate the diagonal in bf16 (regression: un-cast
+        jnp.trace on the raw inputs)."""
+        import jax.numpy as jnp
+
+        mu = jnp.asarray(rng.randn(64), jnp.bfloat16)
+        s1 = jnp.asarray(_random_psd(rng, 64), jnp.bfloat16)
+        s2 = jnp.asarray(_random_psd(rng, 64), jnp.bfloat16)
+        got = float(sqrtm.frechet_distance_device(mu, s1, mu, s2))
+        # oracle: identical values pre-upcast to f32 (same rounding of the
+        # inputs, so any difference is accumulation dtype)
+        ref = float(
+            sqrtm.frechet_distance_device(
+                mu.astype(jnp.float32), s1.astype(jnp.float32),
+                mu.astype(jnp.float32), s2.astype(jnp.float32),
+            )
+        )
+        assert abs(got - ref) <= 1e-4 * max(1.0, abs(ref))
+
     def test_frechet_reference_formula(self, rng):
         """Cross-check the full distance vs an independent direct computation."""
         mu1, mu2 = rng.randn(16), rng.randn(16)

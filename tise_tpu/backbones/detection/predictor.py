@@ -103,6 +103,24 @@ def load_bgr_image_bucketed(
     return canvas, (oh, ow), (rh, rw), bi
 
 
+def pack_detections(det) -> jnp.ndarray:
+    """Chained Detections pytree (leading [n_chunks, mb] axes) -> ONE
+    [n_chunks*mb, D, 7] f32 buffer (boxes | score | class | valid) so the
+    host needs a single blocking transfer per batch (4 separate pulls pay 4
+    round-trips on any remote-dispatch transport; classes 0..79 are exact in
+    f32).  Inverse: ``TPUDetector._unpack``."""
+    packed = jnp.concatenate(
+        [
+            det.boxes.astype(jnp.float32),
+            det.scores.astype(jnp.float32)[..., None],
+            det.classes.astype(jnp.float32)[..., None],
+            det.valid.astype(jnp.float32)[..., None],
+        ],
+        axis=-1,
+    )
+    return packed.reshape((-1,) + packed.shape[2:])
+
+
 def _double_buffer(chunks, decode):
     """Yield ``(chunk, decode(chunk))`` with the NEXT chunk's decode already
     running while the caller dispatches/blocks on the device for the current
@@ -192,20 +210,7 @@ class TPUDetector:
         def chained(fn):
             def fwd(p, *chunked):  # leading [n_chunks, mb, ...] axes
                 det = jax.lax.map(lambda args: fn(p, *args), chunked)
-                # pack the 4 output arrays into ONE [B, D, 7] f32 buffer so
-                # the host needs a single blocking transfer per batch (4
-                # separate pulls pay 4 round-trips on any remote-dispatch
-                # transport; classes 0..79 are exact in f32)
-                packed = jnp.concatenate(
-                    [
-                        det.boxes.astype(jnp.float32),
-                        det.scores.astype(jnp.float32)[..., None],
-                        det.classes.astype(jnp.float32)[..., None],
-                        det.valid.astype(jnp.float32)[..., None],
-                    ],
-                    axis=-1,
-                )
-                return packed.reshape((-1,) + packed.shape[2:])
+                return pack_detections(det)
 
             return fwd
 
@@ -248,6 +253,27 @@ class TPUDetector:
         arrays with ONE blocking transfer."""
         p = np.asarray(packed)
         return p[..., :4], p[..., 4], p[..., 5].astype(np.int64), p[..., 6] > 0.5
+
+    def _pad_rows(self, arr: np.ndarray, value=0) -> np.ndarray:
+        """Pad the leading axis up to the static ``batch_size``."""
+        n = self.batch_size - arr.shape[0]
+        if n <= 0:
+            return arr
+        return np.concatenate([arr, np.full((n,) + arr.shape[1:], value, arr.dtype)])
+
+    def _run_pipeline(self, chunks, decode, dispatch, drain) -> None:
+        """The 1-deep pipelined sweep loop shared by detect_files and
+        detect_files_bucketed: the next chunk's host decode overlaps device
+        compute (``_double_buffer``) and each dispatch runs one batch ahead
+        of the blocking result pull."""
+        inflight = None
+        for chunk, decoded in _double_buffer(chunks, decode):
+            det = dispatch(chunk, decoded)
+            if inflight is not None:
+                drain(*inflight)
+            inflight = (chunk, decoded, det)
+        if inflight is not None:
+            drain(*inflight)
 
     def _collect(self, out, path, det_row, scale_xy):
         boxes, scores, classes, valid = det_row
@@ -303,30 +329,22 @@ class TPUDetector:
                     )
                 )
 
+            def dispatch(chunk, decoded):
+                imgs = self._pad_rows(np.stack([d[0] for d in decoded]))
+                hw = self._pad_rows(np.asarray([d[2] for d in decoded], np.float32), value=1)
+                return self._fwd_hw(
+                    self.params,
+                    jax.device_put(self._chunked(imgs), self._batch_sharding),
+                    jax.device_put(self._chunked(hw), self._hw_sharding),
+                )
+
             def drain(chunk, decoded, det):
                 b, s, c, v = self._unpack(det)  # blocking pull
                 for row, i in enumerate(chunk):
                     (oh, ow), (rh, rw) = decoded[row][1], decoded[row][2]
                     self._collect(out, files[i], (b[row], s[row], c[row], v[row]), (oh / rh, ow / rw))
 
-            inflight = None  # 1-deep: dispatch batch i+1 before pulling batch i
-            for chunk, decoded in _double_buffer(chunks, decode):
-                imgs = np.stack([d[0] for d in decoded])
-                hw = np.asarray([d[2] for d in decoded], np.float32)
-                if len(chunk) < self.batch_size:
-                    npad = self.batch_size - len(chunk)
-                    imgs = np.concatenate([imgs, np.zeros((npad,) + imgs.shape[1:], imgs.dtype)])
-                    hw = np.concatenate([hw, np.ones((npad, 2), np.float32)])
-                det = self._fwd_hw(
-                    self.params,
-                    jax.device_put(self._chunked(imgs), self._batch_sharding),
-                    jax.device_put(self._chunked(hw), self._hw_sharding),
-                )
-                if inflight is not None:
-                    drain(*inflight)
-                inflight = (chunk, decoded, det)
-            if inflight is not None:
-                drain(*inflight)
+            self._run_pipeline(chunks, decode, dispatch, drain)
         return out
 
     def detect_files(
@@ -343,6 +361,10 @@ class TPUDetector:
             def decode(chunk):
                 return list(pool.map(lambda f: load_bgr_image(f, self.input_size), chunk))
 
+            def dispatch(chunk, decoded):
+                imgs = self._pad_rows(np.stack([d[0] for d in decoded]))
+                return self._fwd(self.params, jax.device_put(self._chunked(imgs), self._batch_sharding))
+
             def drain(chunk, decoded, det):
                 boxes, scores, classes, valid = self._unpack(det)  # blocking pull
                 for i, path in enumerate(chunk):
@@ -350,18 +372,7 @@ class TPUDetector:
                     sy, sx = oh / self.input_size, ow / self.input_size
                     self._collect(out, path, (boxes[i], scores[i], classes[i], valid[i]), (sy, sx))
 
-            inflight = None  # 1-deep: dispatch batch i+1 before pulling batch i
-            for chunk, decoded in _double_buffer(chunks, decode):
-                imgs = np.stack([d[0] for d in decoded])
-                if len(chunk) < self.batch_size:  # pad to static batch
-                    pad = np.zeros((self.batch_size - len(chunk),) + imgs.shape[1:], imgs.dtype)
-                    imgs = np.concatenate([imgs, pad])
-                det = self._fwd(self.params, jax.device_put(self._chunked(imgs), self._batch_sharding))
-                if inflight is not None:
-                    drain(*inflight)
-                inflight = (chunk, decoded, det)
-            if inflight is not None:
-                drain(*inflight)
+            self._run_pipeline(chunks, decode, dispatch, drain)
         return out
 
 

@@ -114,7 +114,7 @@ def download_http(url: str, dest: str) -> str:
 def fetch_and_unzip(src: str, dest: str, *, skip_existing: bool = True) -> str:
     """Reference loop: skip existing, download (Drive id or http(s) URL),
     extract .zip/.tgz in place (download_pretrained_models.py:19-45)."""
-    if skip_existing and os.path.exists(dest):
+    if skip_existing and os.path.isfile(dest):
         print(f"{dest} exists; skipping")
         return dest
     if src.startswith(("http://", "https://")):
@@ -146,7 +146,13 @@ def main(argv=None) -> None:
                 print(f"  {name}  <-  {src}")
         return
     if args.file_id:
-        fetch_and_unzip(args.file_id, args.dest)
+        # --dest may be a directory (notably the '.' default): the raw id
+        # needs a real file path or fetch_and_unzip would see the existing
+        # directory and silently skip the download
+        dest = args.dest
+        if os.path.isdir(dest):
+            dest = os.path.join(dest, args.file_id)
+        fetch_and_unzip(args.file_id, dest)
         return
     if not args.bundle:
         p.error("pass --bundle, --file_id, or --list")

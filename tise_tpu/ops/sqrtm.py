@@ -62,11 +62,13 @@ def frechet_distance_device(
     """
     mu1 = mu1.astype(jnp.float32)
     mu2 = mu2.astype(jnp.float32)
+    # cast the sigmas ONCE up front: the traces below would otherwise
+    # accumulate 2048 diagonal terms in the caller's dtype (bf16 would lose
+    # ~1% on the Tr(C1)+Tr(C2) terms that dominate FID)
+    sigma1 = sigma1.astype(jnp.float32)
+    sigma2 = sigma2.astype(jnp.float32)
     diff = mu1 - mu2
-    prod = jnp.dot(
-        sigma1.astype(jnp.float32), sigma2.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    )
+    prod = jnp.dot(sigma1, sigma2, preferred_element_type=jnp.float32)
     tr_covmean = jnp.trace(newton_schulz_sqrtm(prod, iters=iters))
     return jnp.dot(diff, diff) + jnp.trace(sigma1) + jnp.trace(sigma2) - 2.0 * tr_covmean
 
