@@ -1,0 +1,193 @@
+"""Benchmark orchestrator (tise_tpu/benchmark.py) + result-file readers.
+
+The orchestrator's job is plumbing: stage gating on inputs, CLI argv
+construction, result-file parsing, methods-JSON scaling, ranking handoff —
+tested here with stubbed metric mains (each metric's real math has its own
+test module).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tise_tpu import benchmark
+from tise_tpu.core import io as result_io
+
+
+class TestResultReaders:
+    """Every reader must invert its writer (formats from SURVEY.md section 6)."""
+
+    def test_fid(self, tmp_path):
+        p = str(tmp_path / "r.txt")
+        result_io.write_fid_result(p, 26.581254719518654)
+        assert result_io.read_fid_result(p) == 26.581254719518654
+
+    def test_is(self, tmp_path):
+        p = str(tmp_path / "r.txt")
+        result_io.write_is_result(p, 54.62964, 1.53601)
+        assert result_io.read_is_result(p) == (54.62964, 1.53601)
+
+    def test_is_coco(self, tmp_path):
+        p = str(tmp_path / "r.txt")
+        result_io.write_is_coco_result(p, 54.62964, 1.53601)
+        assert result_io.read_is_coco_result(p) == (54.62964, 1.53601)
+
+    def test_o_is(self, tmp_path):
+        p = str(tmp_path / "r.txt")
+        result_io.write_o_is_result(p, 6.01, 0.2)
+        assert result_io.read_o_is_result(p) == (6.01, 0.2)
+
+    def test_rp(self, tmp_path):
+        p = str(tmp_path / "r.txt")
+        result_io.write_rp_coco_result(p, 0.7247999999999999, 0.025110953785151234)
+        assert result_io.read_rp_coco_result(p) == (0.7247999999999999, 0.025110953785151234)
+        result_io.write_rp_cub_result(p, 0.846301, 0.012345)
+        assert result_io.read_rp_cub_result(p) == (0.846301, 0.012345)
+
+    def test_pa_ca(self, tmp_path):
+        p = str(tmp_path / "r.txt")
+        result_io.write_pa_result(p, 0.47753623188405797)
+        assert result_io.read_pa_result(p) == 0.47753623188405797
+        result_io.write_ca_result(p, 1.57)
+        assert result_io.read_ca_result(p) == 1.57
+
+    def test_soa(self, tmp_path):
+        """The third line's '40' literals inside the label must not be parsed
+        as values."""
+        p = str(tmp_path / "r.txt")
+        result_io.write_soa_result(p, 0.6783, 0.6997, 0.7530, 0.6036)
+        assert result_io.read_soa_result(p) == (0.6783, 0.6997, 0.7530, 0.6036)
+
+
+@pytest.fixture
+def world(tmp_path, monkeypatch):
+    """Fake data/weights layout + stubbed metric mains that write plausible
+    result files via the real writers."""
+    data, weights, out = tmp_path / "data", tmp_path / "weights", tmp_path / "results"
+    for rel in benchmark.DATA.values():
+        path = data / rel
+        os.makedirs(path.parent, exist_ok=True)
+        path.write_bytes(b"x")
+    for rel in benchmark.WEIGHTS.values():
+        path = weights / rel
+        os.makedirs(path.parent, exist_ok=True)
+        path.write_bytes(b"x")
+    imgs = tmp_path / "gen"
+    for d in (imgs, tmp_path / "soa_gen", tmp_path / "pa_gen"):
+        os.makedirs(d, exist_ok=True)
+
+    calls = []
+
+    def stub(module, fn):
+        def run(argv):
+            calls.append((module, list(argv)))
+            fn(argv)
+
+        return run
+
+    def flag(argv, name):
+        return argv[argv.index(name) + 1]
+
+    import tise_tpu.metrics.ca as ca
+    import tise_tpu.metrics.crop_objects as crop
+    import tise_tpu.metrics.fid as fid
+    import tise_tpu.metrics.is_star as is_star
+    import tise_tpu.metrics.o_fid as o_fid
+    import tise_tpu.metrics.o_is as o_is
+    import tise_tpu.metrics.pa as pa
+    import tise_tpu.metrics.rp_coco as rp_coco
+    import tise_tpu.metrics.soa as soa
+
+    monkeypatch.setattr(fid, "main", stub("fid", lambda a: result_io.write_fid_result(flag(a, "--saved_file"), 26.581254)))
+    monkeypatch.setattr(is_star, "main", stub("is_star", lambda a: result_io.write_is_coco_result(flag(a, "--saved_file"), 54.62964, 1.53601)))
+    monkeypatch.setattr(rp_coco, "main", stub("rp", lambda a: result_io.write_rp_coco_result(flag(a, "--saved_file_path"), 0.7248, 0.0251)))
+    monkeypatch.setattr(soa, "main", stub("soa", lambda a: result_io.write_soa_result(flag(a, "--saved_file"), 0.6783, 0.6997, 0.7530, 0.6036)))
+    monkeypatch.setattr(pa, "main", stub("pa", lambda a: result_io.write_pa_result(flag(a, "--saved_file_path"), 0.477536)))
+    monkeypatch.setattr(ca, "main", stub("ca", lambda a: result_io.write_ca_result(flag(a, "--result_file"), 1.57)))
+    monkeypatch.setattr(crop, "main", stub("crop", lambda a: os.makedirs(flag(a, "--saved_cropped_object_dir"), exist_ok=True)))
+    monkeypatch.setattr(o_is, "main", stub("o_is", lambda a: result_io.write_o_is_result(flag(a, "--saved_file"), 6.01, 0.2)))
+    monkeypatch.setattr(o_fid, "main", stub("o_fid", lambda a: result_io.write_fid_result(flag(a, "--saved_file"), 15.43)))
+
+    return dict(
+        data=str(data), weights=str(weights), out=str(out), imgs=str(imgs),
+        soa=str(tmp_path / "soa_gen"), pa=str(tmp_path / "pa_gen"), calls=calls,
+    )
+
+
+def _argv(world, **kw):
+    base = [
+        "--track", "coco", "--method_name", "MyModel",
+        "--images", world["imgs"], "--soa_images", world["soa"], "--pa_images", world["pa"],
+        "--data_root", world["data"], "--weights_root", world["weights"],
+        "--output_root", world["out"],
+    ]
+    for k, v in kw.items():
+        base += [f"--{k}", v]
+    return base
+
+
+class TestOrchestrator:
+    def test_full_coco_run_assembles_ranking(self, world):
+        values = benchmark.main(_argv(world))
+        # reference scaling: RP/SOA/PA x100, IS*/FID/O-*/CA raw
+        assert values["FID"] == 26.581254 and values["IS*"] == 54.62964
+        assert abs(values["RP"] - 72.48) < 1e-9
+        assert abs(values["SOA-C"] - 67.83) < 1e-9 and abs(values["SOA-I"] - 69.97) < 1e-9
+        assert abs(values["PA"] - 47.7536) < 1e-9 and values["CA"] == 1.57
+        assert values["O-IS"] == 6.01 and values["O-FID"] == 15.43
+        # methods JSON matches the reference's 2-decimal convention
+        with open(os.path.join(world["out"], "methods", "MyModel.json")) as f:
+            j = json.load(f)
+        assert j == {"IS*": 54.63, "FID": 26.58, "RP": 72.48, "SOA-C": 67.83,
+                     "SOA-I": 69.97, "O-IS": 6.01, "O-FID": 15.43, "CA": 1.57, "PA": 47.75}
+        table = open(os.path.join(world["out"], "benchmark_results.txt")).read()
+        assert "MyModel" in table and "RS" in table
+        # every stage ran once, o_is/o_fid after crop
+        names = [m for m, _ in world["calls"]]
+        assert names.index("crop") < names.index("o_is") < len(names)
+        assert sorted(names) == sorted(
+            ["fid", "is_star", "rp", "soa", "pa", "ca", "crop", "o_is", "o_fid"]
+        )
+
+    def test_missing_weight_skips_stage_and_ranking(self, world):
+        os.remove(os.path.join(world["weights"], benchmark.WEIGHTS["counter"]))
+        values = benchmark.main(_argv(world))
+        assert "CA" not in values and "FID" in values
+        with open(os.path.join(world["out"], "methods", "MyModel.json")) as f:
+            assert "CA" not in json.load(f)
+        assert not os.path.exists(os.path.join(world["out"], "benchmark_results.txt"))
+
+    def test_crop_failure_gates_o_metrics(self, world):
+        os.remove(os.path.join(world["weights"], benchmark.WEIGHTS["detector_crop"]))
+        values = benchmark.main(_argv(world))
+        assert "O-IS" not in values and "O-FID" not in values
+
+    def test_only_and_skip(self, world):
+        benchmark.main(_argv(world, only="fid,is_star", skip="is_star"))
+        assert [m for m, _ in world["calls"]] == ["fid"]
+
+    def test_precision_flag_propagates(self, world):
+        benchmark.main(_argv(world, only="fid", precision="fast"))
+        _, argv = world["calls"][0]
+        assert argv[argv.index("--precision") + 1] == "fast"
+
+    def test_cub_track(self, world, monkeypatch):
+        import tise_tpu.metrics.fid as fid
+        import tise_tpu.metrics.is_star as is_star
+        import tise_tpu.metrics.rp_cub as rp_cub
+
+        def flag(argv, name):
+            return argv[argv.index(name) + 1]
+
+        monkeypatch.setattr(fid, "main", lambda a: result_io.write_fid_result(flag(a, "--saved_file"), 15.01))
+        monkeypatch.setattr(is_star, "main", lambda a: result_io.write_is_result(flag(a, "--saved_file"), 15.13, 0.3))
+        monkeypatch.setattr(rp_cub, "main", lambda a: result_io.write_rp_cub_result(flag(a, "--saved_file_path"), 0.7731, 0.01))
+        argv = [
+            "--track", "cub", "--method_name", "MyModel", "--images", world["imgs"],
+            "--data_root", world["data"], "--weights_root", world["weights"],
+            "--output_root", world["out"],
+        ]
+        values = benchmark.main(argv)
+        assert values == {"FID": 15.01, "IS*": 15.13, "RP": pytest.approx(77.31)}

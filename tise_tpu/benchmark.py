@@ -1,0 +1,353 @@
+"""One-command bag-of-metrics benchmark runner (layers L3+L4 glue).
+
+The reference makes users run nine metric CLIs by hand (README.md:178-433),
+hand-copy each printed value into ``ranking_scores/methods/<name>.json``
+(ranking_score.py:10-23), and then run the ranking script.  This orchestrator
+runs every stage of a track over the standard data/weights layout (the layout
+``tise_tpu.core.download`` produces — identical to the reference's), parses
+the stage result files back (core/io readers), assembles the methods JSON
+with the reference's scaling (RP/SOA/PA x100, 2-decimal rounding, matching
+ranking_scores/methods/*.json), and renders the ranking table:
+
+    python -m tise_tpu.benchmark --track coco --method_name my_model \
+        --images gen/coco --soa_images gen/soa --pa_images gen/pa \
+        --data_root data --weights_root weights --output_root results \
+        [--precision fast] [--only fid,is_star] [--skip soa]
+
+Stages whose inputs (weights, caption pickles, reference npz stats, image
+dirs) are missing are SKIPPED with a note instead of failing the run, so a
+partial layout still produces every computable metric; the ranking step runs
+only when all nine COCO values exist.  Exact-parity validation of individual
+metrics against the reference lives in tools/parity_check.py; this module is
+the production driver.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Sequence
+
+from tise_tpu.core import io as result_io
+
+#: relative paths under --data_root / --weights_root, mirroring the layout
+#: the reference's download scripts create (core/download.py BUNDLES) plus
+#: the converted-weight filenames tools/parity_check.py documents.
+DATA = {
+    "coco_fid_stats": "image_realism/FID/data/coco_val.npz",
+    "cub_fid_stats": "image_realism/FID/data/bird_val.npz",
+    "o_fid_stats": "object_fidelity/O-FID/data/cropped_object_coco.npz",
+    "coco_rp_captions": "text_relevance/captions/COCO_RP_captions.pkl",
+    "cub_rp_captions": "text_relevance/captions/CUB_RP_captions.pkl",
+    "pa_captions": "positional_alignment/captions/PA_input_captions.pkl",
+    "ca_captions": "counting_alignment/captions/CA_input_captions.pkl",
+    "cub_captions_pickle": "text_to_images_models/data/birds/captions.pickle",
+}
+WEIGHTS = {
+    # torchvision InceptionV3 (FID backbone) — export via tools/parity_check.py notes
+    "inception": "inception_v3_torchvision.pth",
+    # frozen 2015 GraphDef weights (IS* COCO) — tools/convert_tf_inception.py
+    "inception_2015": "inception_2015.npz",
+    # TF-slim 50-class CUB checkpoint (IS* CUB) — tools/convert_tf_inception.py
+    "inception_cub": "birds_valid299.npz",
+    # 80-class fine-tuned torchvision inception (O-IS / O-FID)
+    "inception_80": "object_fidelity/weights/inceptionv3_fine_to_with_80_coco_classes.pth",
+    "clip": "clip_vit_b32.pt",
+    "clip_bpe": "bpe_simple_vocab_16e6.txt.gz",
+    "detector_soa": "semantic_object_accuracy/weights/coco_mask_rcnn_detector.pkl",
+    "detector_crop": "object_fidelity/weights/model_final_f10217.pkl",
+    "counter": "counting_alignment/weights/coco14.pt",
+    "damsm_text": "text_to_images_models/DAMSMencoders/bird/text_encoder200.pth",
+    "damsm_image": "text_to_images_models/DAMSMencoders/bird/image_encoder200.pth",
+}
+
+
+def resolve_weight(path: str) -> str:
+    """Accept a converted ``.npz`` sibling of the documented checkpoint name
+    (weight converters write <stem>.npz next to — or instead of — the
+    torch/TF original; every metric CLI loads either format)."""
+    if os.path.exists(path):
+        return path
+    alt = os.path.splitext(path)[0] + ".npz"
+    return alt if os.path.exists(alt) else path
+
+
+@dataclass
+class Stage:
+    """One metric run: inputs to check, CLI argv to run, result parse."""
+
+    name: str
+    inputs: List[str]  # paths that must exist
+    run: Callable[[], None]
+    parse: Callable[[], Dict[str, float]]
+    after: Sequence[str] = ()  # stages that must have completed first
+
+
+@dataclass
+class Plan:
+    stages: List[Stage] = field(default_factory=list)
+
+    def execute(self) -> Dict[str, float]:
+        values: Dict[str, float] = {}
+        done = set()
+        for st in self.stages:
+            missing = [p for p in st.inputs if not p or not os.path.exists(p)]
+            failed_deps = [d for d in st.after if d not in done]
+            if missing or failed_deps:
+                why = "; ".join(
+                    (["missing: " + ", ".join(missing)] if missing else [])
+                    + (["needs: " + ", ".join(failed_deps)] if failed_deps else [])
+                )
+                print(f"[benchmark] SKIP {st.name} ({why})")
+                continue
+            print(f"[benchmark] RUN  {st.name}")
+            try:
+                st.run()
+                values.update(st.parse())
+                done.add(st.name)
+            except Exception as e:  # noqa: BLE001 — one stage must not kill the run
+                print(f"[benchmark] FAIL {st.name}: {type(e).__name__}: {e}")
+        return values
+
+
+def _coco_plan(args, out: str) -> Plan:
+    """The nine-metric COCO track (README.md:244-433 order)."""
+    from tise_tpu.metrics import ca, crop_objects, fid, is_star, o_fid, o_is, pa, rp_coco, soa
+
+    d = lambda key: os.path.join(args.data_root, DATA[key])  # noqa: E731
+    w = lambda key: resolve_weight(os.path.join(args.weights_root, WEIGHTS[key]))  # noqa: E731
+    prec = ["--precision", args.precision]
+    crops_dir = os.path.join(out, "crops")
+    plan = Plan()
+
+    def txt(name: str) -> str:
+        return os.path.join(out, f"{name}.txt")
+
+    plan.stages.append(
+        Stage(
+            "fid",
+            [args.images, d("coco_fid_stats"), w("inception")],
+            lambda: fid.main(
+                ["--path1", d("coco_fid_stats"), "--path2", args.images,
+                 "--saved_file", txt("fid"), "--weights", w("inception")] + prec
+            ),
+            lambda: {"FID": result_io.read_fid_result(txt("fid"))},
+        )
+    )
+    plan.stages.append(
+        Stage(
+            "is_star",
+            [args.images, w("inception_2015")],
+            lambda: is_star.main(
+                ["--image_folder", args.images, "--flavor", "coco",
+                 "--saved_file", txt("is_star"), "--weights", w("inception_2015")] + prec
+            ),
+            lambda: {"IS*": result_io.read_is_coco_result(txt("is_star"))[0]},
+        )
+    )
+    plan.stages.append(
+        Stage(
+            "rp",
+            [args.images, d("coco_rp_captions"), w("clip"), w("clip_bpe")],
+            lambda: rp_coco.main(
+                ["--image_dir", args.images, "--rp_input_file", d("coco_rp_captions"),
+                 "--saved_file_path", txt("rp"), "--weights", w("clip"),
+                 "--bpe_path", w("clip_bpe")] + prec
+            ),
+            lambda: {"RP": result_io.read_rp_coco_result(txt("rp"))[0] * 100},
+        )
+    )
+    plan.stages.append(
+        Stage(
+            "soa",
+            [args.soa_images, w("detector_soa")],
+            lambda: soa.main(
+                ["--images", args.soa_images, "--detected_results",
+                 os.path.join(out, "soa_detections"), "--saved_file", txt("soa"),
+                 "--weights", w("detector_soa")] + prec
+            ),
+            lambda: dict(
+                zip(("SOA-C", "SOA-I"),
+                    [v * 100 for v in result_io.read_soa_result(txt("soa"))[:2]])
+            ),
+        )
+    )
+    plan.stages.append(
+        Stage(
+            "pa",
+            [args.pa_images, d("pa_captions"), w("clip"), w("clip_bpe")],
+            lambda: pa.main(
+                ["--image_dir", args.pa_images, "--pa_input_file", d("pa_captions"),
+                 "--saved_file_path", txt("pa"), "--weights", w("clip"),
+                 "--bpe_path", w("clip_bpe")] + prec
+            ),
+            lambda: {"PA": result_io.read_pa_result(txt("pa")) * 100},
+        )
+    )
+    plan.stages.append(
+        Stage(
+            "ca",
+            [args.images, d("ca_captions"), w("counter")],
+            lambda: ca.main(
+                ["--image_dir", args.images, "--ct_input_file", d("ca_captions"),
+                 "--result_file", txt("ca"), "--weights", w("counter")] + prec
+            ),
+            lambda: {"CA": result_io.read_ca_result(txt("ca"))},
+        )
+    )
+    plan.stages.append(
+        Stage(
+            "crop",
+            [args.images, w("detector_crop")],
+            lambda: crop_objects.main(
+                ["--source_image_dir", args.images,
+                 "--saved_cropped_object_dir", crops_dir,
+                 "--weights", w("detector_crop")] + prec
+            ),
+            lambda: {},
+        )
+    )
+    plan.stages.append(
+        Stage(
+            "o_is",
+            [w("inception_80")],
+            lambda: o_is.main(
+                ["--image_dir", crops_dir, "--saved_file", txt("o_is"),
+                 "--weights", w("inception_80")] + prec
+            ),
+            lambda: {"O-IS": result_io.read_o_is_result(txt("o_is"))[0]},
+            after=("crop",),
+        )
+    )
+    plan.stages.append(
+        Stage(
+            "o_fid",
+            [d("o_fid_stats"), w("inception_80")],
+            lambda: o_fid.main(
+                ["--path1", d("o_fid_stats"), "--path2", crops_dir,
+                 "--saved_file", txt("o_fid"), "--weights", w("inception_80")] + prec
+            ),
+            lambda: {"O-FID": result_io.read_fid_result(txt("o_fid"))},
+            after=("crop",),
+        )
+    )
+    return plan
+
+
+def _cub_plan(args, out: str) -> Plan:
+    """The CUB track: IS*, FID, RP(DAMSM) (README.md:178-243)."""
+    from tise_tpu.metrics import fid, is_star, rp_cub
+
+    d = lambda key: os.path.join(args.data_root, DATA[key])  # noqa: E731
+    w = lambda key: resolve_weight(os.path.join(args.weights_root, WEIGHTS[key]))  # noqa: E731
+    prec = ["--precision", args.precision]
+    plan = Plan()
+
+    def txt(name: str) -> str:
+        return os.path.join(out, f"{name}.txt")
+
+    plan.stages.append(
+        Stage(
+            "fid",
+            [args.images, d("cub_fid_stats"), w("inception")],
+            lambda: fid.main(
+                ["--path1", d("cub_fid_stats"), "--path2", args.images,
+                 "--saved_file", txt("fid"), "--weights", w("inception")] + prec
+            ),
+            lambda: {"FID": result_io.read_fid_result(txt("fid"))},
+        )
+    )
+    plan.stages.append(
+        Stage(
+            "is_star",
+            [args.images, w("inception_cub")],
+            lambda: is_star.main(
+                ["--image_folder", args.images, "--flavor", "cub",
+                 "--saved_file", txt("is_star"), "--weights", w("inception_cub")] + prec
+            ),
+            lambda: {"IS*": result_io.read_is_result(txt("is_star"))[0]},
+        )
+    )
+    plan.stages.append(
+        Stage(
+            "rp",
+            [args.images, d("cub_rp_captions"), d("cub_captions_pickle"),
+             w("damsm_text"), w("damsm_image")],
+            lambda: rp_cub.main(
+                ["--image_dir", args.images, "--rp_input_file", d("cub_rp_captions"),
+                 "--saved_file_path", txt("rp"), "--captions_pickle", d("cub_captions_pickle"),
+                 "--text_encoder", w("damsm_text"), "--image_encoder", w("damsm_image")] + prec
+            ),
+            lambda: {"RP": result_io.read_rp_cub_result(txt("rp"))[0] * 100},
+        )
+    )
+    return plan
+
+
+def assemble_methods_json(values: Dict[str, float], path: str) -> bool:
+    """Write the ranking methods JSON (reference key order and 2-decimal
+    rounding, ranking_scores/methods/*.json).  Returns True when all nine
+    metrics are present (only then can the method be ranked)."""
+    from tise_tpu.ranking.ranking_score import METRICS
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    rounded = {m: round(values[m], 2) for m in METRICS if m in values}
+    with open(path, "w") as f:
+        json.dump(rounded, f)
+    return len(rounded) == len(METRICS)
+
+
+def main(argv: Optional[Sequence[str]] = None) -> Dict[str, float]:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--track", choices=("coco", "cub"), required=True)
+    p.add_argument("--method_name", type=str, required=True, help="row name in the ranking table")
+    p.add_argument("--images", type=str, required=True, help="flat <caption_id>.png dir")
+    p.add_argument("--soa_images", type=str, default="", help="(coco) label_XX folder root")
+    p.add_argument("--pa_images", type=str, default="", help="(coco) positional-word folder root")
+    p.add_argument("--data_root", type=str, default="data")
+    p.add_argument("--weights_root", type=str, default="weights")
+    p.add_argument("--output_root", type=str, default="results")
+    p.add_argument("--methods_dir", type=str, default=None,
+                   help="existing ranking methods/*.json dir to rank against "
+                        "(the new method's JSON is added to it)")
+    p.add_argument("--precision", choices=("highest", "fast"), default="highest")
+    p.add_argument("--only", type=str, default="", help="comma-separated stage names to run")
+    p.add_argument("--skip", type=str, default="", help="comma-separated stage names to skip")
+    args = p.parse_args(argv)
+
+    out = os.path.join(args.output_root, args.method_name)
+    os.makedirs(out, exist_ok=True)
+    plan = _coco_plan(args, out) if args.track == "coco" else _cub_plan(args, out)
+    if args.only:
+        keep = {s.strip() for s in args.only.split(",")}
+        plan.stages = [s for s in plan.stages if s.name in keep]
+    if args.skip:
+        drop = {s.strip() for s in args.skip.split(",")}
+        plan.stages = [s for s in plan.stages if s.name not in drop]
+
+    values = plan.execute()
+    print(f"[benchmark] values: {json.dumps(values)}")
+    with open(os.path.join(out, "metrics.json"), "w") as f:
+        json.dump(values, f, indent=1)
+
+    if args.track == "coco":
+        methods_dir = args.methods_dir or os.path.join(args.output_root, "methods")
+        complete = assemble_methods_json(
+            values, os.path.join(methods_dir, f"{args.method_name}.json")
+        )
+        if complete:
+            from tise_tpu.ranking import ranking_score
+
+            table_path = os.path.join(args.output_root, "benchmark_results.txt")
+            ranking_score.main(["--methods_dir", methods_dir, "--output", table_path])
+            print(f"[benchmark] ranking table -> {table_path}")
+        else:
+            print("[benchmark] not all nine metrics computed; ranking skipped "
+                  f"(methods JSON holds the partial set)")
+    return values
+
+
+if __name__ == "__main__":
+    main()

@@ -76,6 +76,56 @@ def write_soa_result(path: str, soa_c: float, soa_i: float, top40: float, bot40:
 
 
 # ---------------------------------------------------------------------------
+# Result-file readers (inverse of the writers above; used by the benchmark
+# orchestrator to assemble ranking methods/<name>.json from completed runs)
+# ---------------------------------------------------------------------------
+
+
+def _floats(path: str) -> list:
+    """All float literals in the file, in order."""
+    import re
+
+    with open(path) as f:
+        text = f.read()
+    return [float(v) for v in re.findall(r"[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?", text)]
+
+
+def read_fid_result(path: str) -> float:
+    return _floats(path)[0]
+
+
+def read_is_result(path: str) -> Tuple[float, float]:
+    mean, std = _floats(path)[:2]
+    return mean, std
+
+
+read_is_coco_result = read_is_result
+read_o_is_result = read_is_result
+read_rp_coco_result = read_is_result
+read_rp_cub_result = read_is_result
+
+
+def read_pa_result(path: str) -> float:
+    return _floats(path)[0]
+
+
+read_ca_result = read_pa_result
+
+
+def read_soa_result(path: str) -> Tuple[float, float, float, float]:
+    """(SOA-C, SOA-I, top40, bot40) — the lines carry exactly these four
+    values plus the literal '40's in the last label, which are filtered by
+    position: values follow their colon."""
+    import re
+
+    with open(path) as f:
+        lines = [l for l in f.read().splitlines() if ":" in l]
+    vals = [float(re.findall(r"[-+]?\d*\.?\d+", l.split(":")[-1])[0]) for l in lines[:2]]
+    top_bot = re.findall(r"[-+]?\d*\.?\d+", lines[2].split(":")[-1])
+    return vals[0], vals[1], float(top_bot[0]), float(top_bot[1])
+
+
+# ---------------------------------------------------------------------------
 # Reference statistics (mu/sigma npz) and detection pickles
 # ---------------------------------------------------------------------------
 
