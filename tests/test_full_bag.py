@@ -85,6 +85,39 @@ class TestFullBag:
         )
         assert abs(v) < 1e-2
 
+    def test_save_stats_roundtrip(self, world, inception_params, tmp_path):
+        """save_statistics caches mu/sigma identical to the in-memory stats,
+        and the npz is a drop-in --path argument afterwards."""
+        npz = str(tmp_path / "ref_stats.npz")
+        fid_metric.save_statistics(str(world / "generated"), npz, inception_params, batch_size=4)
+        fid_ex = fid_metric.make_pool3_extractor(inception_params)
+        mu, sigma = fid_metric.compute_statistics_of_path(
+            str(world / "generated"), fid_ex, batch_size=4
+        )
+        smu, ssigma = result_io.load_stats_npz(npz)
+        np.testing.assert_allclose(smu, mu)
+        np.testing.assert_allclose(ssigma, sigma)
+        v = fid_metric.calculate_fid_given_paths(
+            npz, str(world / "generated"), inception_params, batch_size=4, sqrtm_method="eigh"
+        )
+        assert abs(v) < 1e-2
+
+    def test_save_stats_cli(self, world, tmp_path):
+        """The --save_stats argv path: build the npz, then run a distance
+        against it without --weights (npz-vs-npz needs no backbone)."""
+        from tise_tpu.core import weights as wio
+
+        w = str(tmp_path / "w.npz")
+        wio.save_pytree_npz(w, inception_v3.random_params(jax.random.PRNGKey(1)))
+        npz = str(tmp_path / "s.npz")
+        fid_metric.main(
+            ["--path1", str(world / "generated"), "--save_stats", npz,
+             "--weights", w, "--batch-size", "4"]
+        )
+        out = str(tmp_path / "fid.txt")
+        fid_metric.main(["--path1", npz, "--path2", npz, "--saved_file", out, "--sqrtm", "eigh"])
+        assert abs(result_io.read_fid_result(out)) < 1e-2
+
     def test_ranking_from_metric_outputs(self, world):
         """Synthesized per-method metric values -> methods/*.json -> the
         ranking CLI output file."""

@@ -126,6 +126,35 @@ def calculate_fid_given_paths(
     return sqrtm.frechet_distance(m1, s1, m2, s2, method=sqrtm_method)
 
 
+def save_statistics(
+    path: str,
+    out_npz: str,
+    params,
+    batch_size: int = 64,
+    *,
+    mesh=None,
+    legacy_compat: bool = False,
+    device_resize_from: int = 0,
+    fast: bool = False,
+) -> None:
+    """Compute mu/sigma of an image folder and cache them in the reference's
+    npz layout (fid_score.py:200-203).  The reference ships these files
+    pre-computed (FID/data/coco_val.npz etc.) with no command to build one
+    for a new dataset — this closes that gap; the npz then serves as
+    --path1/--path2 of any later run."""
+    extractor = make_pool3_extractor(
+        params, mesh=mesh, device_resize_from=device_resize_from, fast=fast
+    )
+    mu, sigma = compute_statistics_of_path(
+        path,
+        extractor,
+        batch_size,
+        legacy_compat=legacy_compat,
+        host_image_size=device_resize_from or 299,
+    )
+    result_io.save_stats_npz(out_npz, mu, sigma)
+
+
 def load_params(weights_path: Optional[str]):
     """Load converted torchvision weights (npz pytree or torch .pth)."""
     from tise_tpu.core import weights as weights_io
@@ -146,8 +175,14 @@ def main(argv=None) -> None:
     p.add_argument("--dims", type=int, default=2048, choices=[2048])
     p.add_argument("-c", "--gpu", default="", type=str, help="ignored (TPU build)")
     p.add_argument("--path1", type=str, required=True)
-    p.add_argument("--path2", type=str, required=True)
+    p.add_argument("--path2", type=str, default="")
     p.add_argument("--saved_file", type=str, default="")
+    p.add_argument(
+        "--save_stats",
+        type=str,
+        default="",
+        help="write mu/sigma of --path1 to this npz (reference-stats cache) instead of computing a distance",
+    )
     p.add_argument("--weights", type=str, default=None, help="inception weights (.pth/.npz)")
     p.add_argument("--legacy-compat", action="store_true", help="reproduce drop_last tail discard")
     p.add_argument("--sqrtm", type=str, default="scipy", choices=["scipy", "eigh", "ns", "ns-pallas"])
@@ -163,6 +198,20 @@ def main(argv=None) -> None:
     configure_precision(args.precision)
     maybe_init_distributed(args)
 
+    if args.save_stats:
+        save_statistics(
+            args.path1,
+            args.save_stats,
+            load_params(args.weights),
+            args.batch_size,
+            legacy_compat=args.legacy_compat,
+            device_resize_from=args.device_resize_from,
+            fast=args.precision == "fast",
+        )
+        print(f"stats: {args.save_stats}")
+        return
+    if not args.path2:
+        p.error("--path2 is required (or pass --save_stats to cache statistics of --path1)")
     params = None
     if not (args.path1.endswith(".npz") and args.path2.endswith(".npz")):
         params = load_params(args.weights)

@@ -23,8 +23,14 @@ def main(argv=None) -> None:
     p.add_argument("--dims", type=int, default=2048, choices=[2048])
     p.add_argument("-c", "--gpu", default="", type=str, help="ignored (TPU build)")
     p.add_argument("--path1", type=str, required=True)
-    p.add_argument("--path2", type=str, required=True)
+    p.add_argument("--path2", type=str, default="")
     p.add_argument("--saved_file", type=str, default="")
+    p.add_argument(
+        "--save_stats",
+        type=str,
+        default="",
+        help="write mu/sigma of --path1 (a crops folder) to this npz instead of computing a distance",
+    )
     p.add_argument("--weights", type=str, default=None, help="80-class fine-tuned inception (.pth/.npz)")
     p.add_argument("--legacy-compat", action="store_true")
     p.add_argument("--sqrtm", type=str, default="scipy", choices=["scipy", "eigh", "ns", "ns-pallas"])
@@ -34,13 +40,29 @@ def main(argv=None) -> None:
     configure_precision(args.precision)
     maybe_init_distributed(args)
 
-    params = None
-    if not (args.path1.endswith(".npz") and args.path2.endswith(".npz")):
+    def load_80(path):
         from tise_tpu.core import weights as weights_io
 
-        if args.weights is None:
+        if path is None:
             raise SystemExit("O-FID needs the 80-class fine-tuned inception weights (--weights)")
-        params = weights_io.load_inception_params(args.weights, num_classes=80)
+        return weights_io.load_inception_params(path, num_classes=80)
+
+    if args.save_stats:
+        fid_metric.save_statistics(
+            args.path1,
+            args.save_stats,
+            load_80(args.weights),
+            args.batch_size,
+            legacy_compat=args.legacy_compat,
+            fast=args.precision == "fast",
+        )
+        print(f"stats: {args.save_stats}")
+        return
+    if not args.path2:
+        p.error("--path2 is required (or pass --save_stats to cache statistics of --path1)")
+    params = None
+    if not (args.path1.endswith(".npz") and args.path2.endswith(".npz")):
+        params = load_80(args.weights)
 
     value = fid_metric.calculate_fid_given_paths(
         args.path1,
