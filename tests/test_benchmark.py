@@ -263,6 +263,19 @@ class TestOrchestrator:
         _, argv = world["calls"][0]
         assert argv[argv.index("--precision") + 1] == "fast"
 
+    def test_batch_size_flag_spellings(self, world):
+        """--batch_size reaches every stage in that CLI's spelling: the FID
+        slices keep the reference's dashed --batch-size, the rest underscore."""
+        benchmark.main(_argv(world, batch_size="4"))
+        for module, argv in world["calls"]:
+            if module in ("fid", "o_fid"):
+                assert argv[argv.index("--batch-size") + 1] == "4", module
+                assert "--batch_size" not in argv
+            elif module in ("soa", "crop"):  # detector sizes its own micro-batches
+                assert "--batch_size" not in argv and "--batch-size" not in argv
+            else:
+                assert argv[argv.index("--batch_size") + 1] == "4", module
+
     def test_cub_track(self, world, monkeypatch):
         import tise_tpu.metrics.fid as fid
         import tise_tpu.metrics.is_star as is_star

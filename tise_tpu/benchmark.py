@@ -119,6 +119,10 @@ def _coco_plan(args, out: str) -> Plan:
     d = lambda key: os.path.join(args.data_root, DATA[key])  # noqa: E731
     w = lambda key: resolve_weight(os.path.join(args.weights_root, WEIGHTS[key]))  # noqa: E731
     prec = ["--precision", args.precision]
+    # CLI flag-spelling parity: the FID slices keep the reference's
+    # dashed --batch-size (fid_score.py:53), everything else underscores
+    bs = ["--batch-size", str(args.batch_size)] if args.batch_size else []
+    bs_u = ["--batch_size", str(args.batch_size)] if args.batch_size else []
     crops_dir = os.path.join(out, "crops")
     plan = Plan()
 
@@ -131,7 +135,7 @@ def _coco_plan(args, out: str) -> Plan:
             [args.images, d("coco_fid_stats"), w("inception")],
             lambda: fid.main(
                 ["--path1", d("coco_fid_stats"), "--path2", args.images,
-                 "--saved_file", txt("fid"), "--weights", w("inception")] + prec
+                 "--saved_file", txt("fid"), "--weights", w("inception")] + prec + bs
             ),
             lambda: {"FID": result_io.read_fid_result(txt("fid"))},
         )
@@ -142,7 +146,7 @@ def _coco_plan(args, out: str) -> Plan:
             [args.images, w("inception_2015")],
             lambda: is_star.main(
                 ["--image_folder", args.images, "--flavor", "coco",
-                 "--saved_file", txt("is_star"), "--weights", w("inception_2015")] + prec
+                 "--saved_file", txt("is_star"), "--weights", w("inception_2015")] + prec + bs_u
             ),
             lambda: {"IS*": result_io.read_is_coco_result(txt("is_star"))[0]},
         )
@@ -154,7 +158,7 @@ def _coco_plan(args, out: str) -> Plan:
             lambda: rp_coco.main(
                 ["--image_dir", args.images, "--rp_input_file", d("coco_rp_captions"),
                  "--saved_file_path", txt("rp"), "--weights", w("clip"),
-                 "--bpe_path", w("clip_bpe")] + prec
+                 "--bpe_path", w("clip_bpe")] + prec + bs_u
             ),
             lambda: {"RP": result_io.read_rp_coco_result(txt("rp"))[0] * 100},
         )
@@ -181,7 +185,7 @@ def _coco_plan(args, out: str) -> Plan:
             lambda: pa.main(
                 ["--image_dir", args.pa_images, "--pa_input_file", d("pa_captions"),
                  "--saved_file_path", txt("pa"), "--weights", w("clip"),
-                 "--bpe_path", w("clip_bpe")] + prec
+                 "--bpe_path", w("clip_bpe")] + prec + bs_u
             ),
             lambda: {"PA": result_io.read_pa_result(txt("pa")) * 100},
         )
@@ -192,7 +196,7 @@ def _coco_plan(args, out: str) -> Plan:
             [args.images, d("ca_captions"), w("counter")],
             lambda: ca.main(
                 ["--image_dir", args.images, "--ct_input_file", d("ca_captions"),
-                 "--result_file", txt("ca"), "--weights", w("counter")] + prec
+                 "--result_file", txt("ca"), "--weights", w("counter")] + prec + bs_u
             ),
             lambda: {"CA": result_io.read_ca_result(txt("ca"))},
         )
@@ -215,7 +219,7 @@ def _coco_plan(args, out: str) -> Plan:
             [w("inception_80")],
             lambda: o_is.main(
                 ["--image_dir", crops_dir, "--saved_file", txt("o_is"),
-                 "--weights", w("inception_80")] + prec
+                 "--weights", w("inception_80")] + prec + bs_u
             ),
             lambda: {"O-IS": result_io.read_o_is_result(txt("o_is"))[0]},
             after=("crop",),
@@ -227,7 +231,7 @@ def _coco_plan(args, out: str) -> Plan:
             [d("o_fid_stats"), w("inception_80")],
             lambda: o_fid.main(
                 ["--path1", d("o_fid_stats"), "--path2", crops_dir,
-                 "--saved_file", txt("o_fid"), "--weights", w("inception_80")] + prec
+                 "--saved_file", txt("o_fid"), "--weights", w("inception_80")] + prec + bs
             ),
             lambda: {"O-FID": result_io.read_fid_result(txt("o_fid"))},
             after=("crop",),
@@ -243,6 +247,8 @@ def _cub_plan(args, out: str) -> Plan:
     d = lambda key: os.path.join(args.data_root, DATA[key])  # noqa: E731
     w = lambda key: resolve_weight(os.path.join(args.weights_root, WEIGHTS[key]))  # noqa: E731
     prec = ["--precision", args.precision]
+    bs = ["--batch-size", str(args.batch_size)] if args.batch_size else []
+    bs_u = ["--batch_size", str(args.batch_size)] if args.batch_size else []
     plan = Plan()
 
     def txt(name: str) -> str:
@@ -254,7 +260,7 @@ def _cub_plan(args, out: str) -> Plan:
             [args.images, d("cub_fid_stats"), w("inception")],
             lambda: fid.main(
                 ["--path1", d("cub_fid_stats"), "--path2", args.images,
-                 "--saved_file", txt("fid"), "--weights", w("inception")] + prec
+                 "--saved_file", txt("fid"), "--weights", w("inception")] + prec + bs
             ),
             lambda: {"FID": result_io.read_fid_result(txt("fid"))},
         )
@@ -265,7 +271,7 @@ def _cub_plan(args, out: str) -> Plan:
             [args.images, w("inception_cub")],
             lambda: is_star.main(
                 ["--image_folder", args.images, "--flavor", "cub",
-                 "--saved_file", txt("is_star"), "--weights", w("inception_cub")] + prec
+                 "--saved_file", txt("is_star"), "--weights", w("inception_cub")] + prec + bs_u
             ),
             lambda: {"IS*": result_io.read_is_result(txt("is_star"))[0]},
         )
@@ -278,7 +284,7 @@ def _cub_plan(args, out: str) -> Plan:
             lambda: rp_cub.main(
                 ["--image_dir", args.images, "--rp_input_file", d("cub_rp_captions"),
                  "--saved_file_path", txt("rp"), "--captions_pickle", d("cub_captions_pickle"),
-                 "--text_encoder", w("damsm_text"), "--image_encoder", w("damsm_image")] + prec
+                 "--text_encoder", w("damsm_text"), "--image_encoder", w("damsm_image")] + prec + bs_u
             ),
             lambda: {"RP": result_io.read_rp_cub_result(txt("rp"))[0] * 100},
         )
@@ -313,6 +319,9 @@ def main(argv: Optional[Sequence[str]] = None) -> Dict[str, float]:
                    help="existing ranking methods/*.json dir to rank against "
                         "(the new method's JSON is added to it)")
     p.add_argument("--precision", choices=("highest", "fast"), default="highest")
+    p.add_argument("--batch_size", type=int, default=0,
+                   help="override every stage's batch size (0 = per-CLI defaults); "
+                        "the detection stages size their own micro-batches")
     p.add_argument("--only", type=str, default="", help="comma-separated stage names to run")
     p.add_argument("--skip", type=str, default="", help="comma-separated stage names to skip")
     args = p.parse_args(argv)
