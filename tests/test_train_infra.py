@@ -104,6 +104,63 @@ class TestDamsmPretrain:
         assert not np.allclose(np.asarray(old_head), np.asarray(new_head))
 
 
+class _DamsmStubDataset:
+    """Minimal ``(len, batches)`` dataset for full-loop tests."""
+
+    def __init__(self, n=4, words_num=6, size=96, ntoken=60, seed=1):
+        self.n, self.words_num, self.size, self.ntoken, self.seed = n, words_num, size, ntoken, seed
+
+    def __len__(self):
+        return self.n
+
+    def batches(self, batch_size, shuffle=True, **kw):
+        r = np.random.RandomState(self.seed)
+        for _ in range(self.n // batch_size):
+            yield T.Batch(
+                images=(r.rand(batch_size, self.size, self.size, 3).astype(np.float32) * 2 - 1,),
+                captions=r.randint(1, self.ntoken, (batch_size, self.words_num)).astype(np.int32),
+                cap_lens=r.randint(2, self.words_num + 1, (batch_size,)).astype(np.int32),
+                class_ids=np.arange(batch_size, dtype=np.int32),
+            )
+
+
+class TestDamsmFullTraining:
+    def test_lr_schedule_decay_and_floor(self):
+        sched = damsm_pretrain.make_lr_schedule(2e-4, steps_per_epoch=10)
+        assert float(sched(0)) == pytest.approx(2e-4)
+        assert float(sched(9)) == pytest.approx(2e-4)  # constant within an epoch
+        assert float(sched(10)) == pytest.approx(2e-4 * 0.98)
+        # frozen once the decayed lr reaches lr0/10 (pretrain_DAMSM.py:365-366)
+        lo = float(sched(10 * 1000))
+        assert lo == pytest.approx(float(sched(10 * 2000)))
+        assert 2e-4 / 10 * 0.9 < lo <= 2e-4 / 10
+
+    def test_full_train_loop_artifacts(self, tmp_path):
+        """Two epochs over a stub dataset: per-epoch validation, best-encoder
+        npz export (loadable), snapshot checkpoints with keep-last."""
+        from tise_tpu.core import weights as weights_io
+
+        cfg = damsm_pretrain.DamsmPretrainConfig(
+            ntoken=60, embedding_dim=16, words_num=6, batch_size=2, max_epoch=2, snapshot_interval=1
+        )
+        out = str(tmp_path / "damsm")
+        state = damsm_pretrain.train(
+            cfg, _DamsmStubDataset(n=4), out, val_dataset=_DamsmStubDataset(n=2, seed=2), log_every=1
+        )
+        assert int(state.step) == 2 * (4 // 2)
+        assert os.path.isfile(os.path.join(out, "best_text_encoder.npz"))
+        assert os.path.isfile(os.path.join(out, "train_history.log"))
+        assert os.path.isfile(os.path.join(out, "scalars.jsonl"))
+        enc = weights_io.load_pytree_npz(os.path.join(out, "best_image_encoder.npz"))
+        assert "emb_cnn_code" in enc["params"]
+        # keep-last checkpointing
+        epochs = sorted(
+            int(n.split("_")[1]) for n in os.listdir(os.path.join(out, "checkpoints"))
+            if n.startswith("epoch_")
+        )
+        assert epochs == [2]
+
+
 class TestCounterModel:
     def test_generator_emits_seven_scales(self):
         gan = GanConfig(gf_dim=8, df_dim=8, z_dim=8, condition_dim=8, embedding_dim=16, words_num=6)
@@ -141,6 +198,57 @@ class TestCounterModel:
         metrics = CT.smoke_train(n_steps=1, batch_size=2)
         for k, v in metrics.items():
             assert np.isfinite(v), k
+
+    def test_full_loop_via_shared_train(self, tmp_path):
+        """train_loop.train(module=CT): the CounterModel plugs into the shared
+        epoch/ckpt/log loop (the reference duplicates the whole trainer
+        instead, CounterModel/trainer.py)."""
+        from dataclasses import replace
+
+        from tise_tpu.models.attngan_pp.train_loop import train
+
+        gan = GanConfig(gf_dim=8, df_dim=8, z_dim=8, condition_dim=8, embedding_dim=16, words_num=6)
+        cfg = replace(CT.default_config(), gan=gan, batch_size=2, ntoken=40, max_epoch=1, snapshot_interval=1)
+
+        class _Stub:
+            def __len__(self):
+                return 2
+
+            def batches(self, batch_size, **kw):
+                r = np.random.RandomState(0)
+                yield T.synthetic_batch(cfg, r, batch_size)
+
+        out = str(tmp_path / "counter")
+        state = train(cfg, _Stub(), out, module=CT, log_every=1)
+        assert int(state.step) == 1
+        assert os.path.isdir(os.path.join(out, "checkpoints", "epoch_1"))
+        assert os.path.isfile(os.path.join(out, "train_history.log"))
+
+
+class TestAugmentation:
+    def test_augment_geometry(self):
+        """Scale(76/64·crop on the shorter side) + RandomCrop + flip
+        (pretrain_DAMSM.py:296-301) — output is always the crop square."""
+        from PIL import Image
+
+        d = ds.TextImageDataset.__new__(ds.TextImageDataset)
+        d.imsizes = [64]
+        d.rng = np.random.RandomState(0)
+        for size in [(100, 80), (80, 100), (64, 64), (500, 90)]:
+            out = d._augment(Image.new("RGB", size))
+            assert out.size == (64, 64), size
+
+    def test_augment_flip_and_crop_sampled(self):
+        from PIL import Image
+
+        d = ds.TextImageDataset.__new__(ds.TextImageDataset)
+        d.imsizes = [32]
+        d.rng = np.random.RandomState(0)
+        base = np.zeros((64, 64, 3), np.uint8)
+        base[:, :32, 0] = 255  # left half red
+        outs = [np.asarray(d._augment(Image.fromarray(base))) for _ in range(8)]
+        # crops/flips vary across draws
+        assert len({o.tobytes() for o in outs}) > 1
 
 
 class TestSampling:

@@ -108,12 +108,20 @@ def train(
     encoder_params=None,
     log_every: int = 100,
     resume: bool = True,
+    module=None,
 ) -> T.TrainState:
     """Full training: epochs over ``dataset.batches(...)`` with snapshot /
-    resume / logging; returns the final state."""
-    models = T.build_models(cfg)
-    state, encoder_params = T.init_state(cfg, models, jax.random.PRNGKey(0), encoder_params)
-    step_fn = jax.jit(T.make_train_step(cfg, models), donate_argnums=(0,))
+    resume / logging; returns the final state.
+
+    ``module`` selects the trainer implementation — any module exposing the
+    (build_models, init_state, make_train_step) triple over the shared Batch
+    (default: the AttnGAN++ trainer; tise_tpu.models.counter_model.trainer
+    plugs in unchanged — the reference's CounterModel/trainer.py duplicates
+    the whole loop instead)."""
+    M = module if module is not None else T
+    models = M.build_models(cfg)
+    state, encoder_params = M.init_state(cfg, models, jax.random.PRNGKey(0), encoder_params)
+    step_fn = jax.jit(M.make_train_step(cfg, models), donate_argnums=(0,))
 
     ckpt = CheckpointManager(os.path.join(output_dir, "checkpoints"))
     logger = make_logger(output_dir)

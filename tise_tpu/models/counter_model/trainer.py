@@ -209,18 +209,26 @@ def smoke_train(n_steps: int = 2, batch_size: int = 4) -> Dict[str, float]:
 
 
 def main(argv=None) -> None:
+    """``--smoke`` runs the 2-step synthetic check; any other flags are the
+    full training surface, forwarded to ``tise_tpu.models.main`` with
+    ``--model counter_model`` preset (the reference's CounterModel/main.py is
+    a near-copy of the AttnGAN++ one — here it IS the same entry point)."""
     import argparse
+    import sys
 
-    p = argparse.ArgumentParser()
-    p.add_argument("--smoke", action="store_true")
-    p.add_argument("--device", choices=["cpu", "tpu"], default="cpu")
-    args = p.parse_args(argv)
-    if args.smoke:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if "--smoke" in argv:
+        p = argparse.ArgumentParser()
+        p.add_argument("--smoke", action="store_true")
+        p.add_argument("--device", choices=["cpu", "tpu"], default="cpu")
+        args = p.parse_args(argv)
         if args.device == "cpu":
             jax.config.update("jax_platforms", "cpu")
         print({k: round(v, 4) for k, v in smoke_train().items()})
-    else:
-        p.error("full training requires a dataset; use --smoke for a check")
+        return
+    from tise_tpu.models import main as models_main
+
+    models_main.main(["--model", "counter_model", *argv])
 
 
 if __name__ == "__main__":

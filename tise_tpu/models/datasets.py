@@ -89,9 +89,11 @@ class TextImageDataset:
         words_num: int = 18,
         captions_per_image: int = 10,
         seed: int = 0,
+        augment: bool = False,
     ):
         self.data_dir = data_dir
         self.split = split
+        self.augment = augment
         self.words_num = words_num
         self.embeddings_num = captions_per_image
         self.imsizes = [base_size * (2**i) for i in range(branch_num)]
@@ -173,6 +175,27 @@ class TextImageDataset:
             return os.path.join(self.data_dir, sub, f"{key}.jpg")
         return os.path.join(self.data_dir, f"{key}.jpg")
 
+    def _augment(self, im: Image.Image) -> Image.Image:
+        """Train-time augmentation (pretrain_DAMSM.py:296-301, main.py's
+        identical image_transform): resize the *shorter* side to
+        76/64 x the finest scale (torchvision ``Scale(int)`` semantics),
+        random-crop the finest-scale square, random horizontal flip.
+        ``self.rng`` is shared with caption sampling; crops are seeded but
+        thread-interleaved under the prefetch pool (the reference's
+        num_workers DataLoader is equally order-nondeterministic)."""
+        crop = self.imsizes[-1]
+        short = int(crop * 76 / 64)
+        w, h = im.size
+        scale = short / min(w, h)
+        im = im.resize((max(crop, int(round(w * scale))), max(crop, int(round(h * scale)))), Image.BILINEAR)
+        w, h = im.size
+        x = int(self.rng.randint(0, w - crop + 1))
+        y = int(self.rng.randint(0, h - crop + 1))
+        im = im.crop((x, y, x + crop, y + crop))
+        if self.rng.rand() < 0.5:
+            im = im.transpose(Image.FLIP_LEFT_RIGHT)
+        return im
+
     def load_multiscale_image(self, index: int) -> List[np.ndarray]:
         """-> list of uint8 HWC arrays at the branch scales."""
         key = self.filenames[index]
@@ -180,6 +203,8 @@ class TextImageDataset:
             im = im.convert("RGB")
             if self.bbox is not None:
                 im = cub_bbox_crop(im, self.bbox[key])
+            if self.augment:
+                im = self._augment(im)
             out = []
             for size in self.imsizes:
                 out.append(np.asarray(im.resize((size, size), Image.BILINEAR), dtype=np.uint8))

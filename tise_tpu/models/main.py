@@ -81,6 +81,7 @@ def main(argv=None) -> None:
         words_num=args.words_num,
         captions_per_image=args.caps_per_img,
         seed=args.manual_seed,
+        augment=True,  # Scale(76/64)+RandomCrop+Flip (AttnGAN++/main.py image_transform)
     )
     gan = GanConfig(
         gf_dim=args.gf_dim,
@@ -118,7 +119,12 @@ def main(argv=None) -> None:
         "text": load(args.net_e, damsm.rnn_params_from_torch),
         "image": load(args.image_encoder, damsm.cnn_params_from_torch),
     }
-    train(cfg, dataset, args.output_dir, encoder_params=encoder_params)
+    module = None
+    if args.model == "counter_model":
+        from tise_tpu.models.counter_model import trainer as counter_trainer
+
+        module = counter_trainer
+    train(cfg, dataset, args.output_dir, encoder_params=encoder_params, module=module)
 
 
 if __name__ == "__main__":
