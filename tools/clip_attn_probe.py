@@ -123,11 +123,44 @@ def main() -> None:
             xf = xf + (jnp.dot(y, blk["w2"]) + blk["b2"]).astype(d)
             return xf
 
+    def pad_t_variant(pack: int, tpad: int):
+        """pack-p with T zero-padded to ``tpad`` INSIDE attention only: the
+        score matmuls see (p*tpad)-row tiles (pack=2/tpad=64 -> exactly one
+        128 MXU tile, 100%% row occupancy) while the score buffer stays the
+        smallest of any >=128-row packing ([b/2, h, 128, 128] vs pack-4's
+        [b/4, h, 200->256, 200->256]).  Dense ops (qkv/mlp) never see the
+        padding.  Padded key columns are masked; padded query rows are
+        computed and dropped on the unpad slice."""
+
+        class PadT(clip_fast.FastCLIPVisual):
+            def _attention(self, qkv, b, t):
+                d = self.dtype
+                dm, h = self.width, self.heads
+                hd = dm // h
+                p = max(g for g in (pack, 1) if b % g == 0)
+                qkv = qkv.reshape(b, t, 3, h, hd)
+                qkv = jnp.pad(qkv, ((0, 0), (0, tpad - t), (0, 0), (0, 0), (0, 0)))
+                qkv = qkv.reshape(b // p, p * tpad, 3, h, hd)
+                q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+                s = jnp.einsum("bqhd,bkhd->bhqk", q * (hd ** -0.5), k)
+                rows = jnp.arange(p * tpad)
+                mask = ((rows[:, None] // tpad) == (rows[None, :] // tpad)) & ((rows % tpad) < t)[None, :]
+                s = jnp.where(mask, s, jnp.asarray(-jnp.inf, s.dtype))
+                a = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(d)
+                o = jnp.einsum("bhqk,bkhd->bqhd", a, v, preferred_element_type=jnp.float32).astype(d)
+                o = o.reshape(b, tpad, dm)[:, :t]
+                return o.reshape(b * t, dm)
+
+        return PadT(dtype=dt, folded=folded)
+
     towers = {
         "base": clip_fast.FastCLIPVisual(dtype=dt, folded=folded),
         "headmajor": HeadMajor(dtype=dt, folded=folded),
         "pretrans": PreTrans(dtype=dt, folded=folded),
         "split3": Split3(dtype=dt, folded=folded),
+        "padt2": pad_t_variant(2, 64),
+        "padt1": pad_t_variant(1, 64),
+        "padt4": pad_t_variant(4, 64),
     }
 
     img = jax.device_put(
