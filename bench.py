@@ -184,61 +184,27 @@ def generation_throughput(on_tpu: bool) -> dict | None:
     at batch 10 per GPU (coco_gen_image_from_caption.py:177-203); this is the
     TPU-native models/generate.py hot path.  Same tunnel rules as the other
     sections: jitted init, salted chained reps per dispatch, best of two
-    passes.  tools/gen_bench.py is the standalone f32-vs-bf16 version."""
+    passes.  Model setup + chain live in tise_tpu.models.gen_bench (shared
+    with tools/gen_bench.py, the standalone f32-vs-bf16 version)."""
     try:
-        from tise_tpu.backbones import damsm
-        from tise_tpu.models.attngan_pp.generator import GanConfig, GNet
+        from tise_tpu.models import gen_bench
 
-        batch = 64 if on_tpu else 2
-        chain = 8 if on_tpu else 1
         iters = 4 if on_tpu else 1
-        ntoken = 27297 if on_tpu else 64  # coco captions.pickle vocab size
-        gan = GanConfig(gf_dim=64 if on_tpu else 8, df_dim=32, r_num=3 if on_tpu else 1,
-                        words_num=20, embedding_dim=256 if on_tpu else 32)
-        dtype = jnp.bfloat16 if on_tpu else jnp.float32
-        text_encoder = damsm.RNNEncoder(ntoken=ntoken, nhidden=gan.embedding_dim // 2)
-        gnet = GNet(cfg=gan, dtype=dtype)
-        host = np.random.RandomState(0)
-        caps = jnp.asarray(host.randint(1, ntoken, (batch, gan.words_num)).astype(np.int32))
-        lens = jnp.asarray(host.randint(5, gan.words_num + 1, (batch,)).astype(np.int32))
-
-        @jax.jit
-        def init(r):
-            r1, r2, r3 = jax.random.split(r, 3)
-            tp = text_encoder.init(r1, caps, lens)
-            words, sent = text_encoder.apply(tp, caps, lens)
-            gv = gnet.init(r2, jnp.zeros((batch, gan.z_dim)), sent, words, caps == 0, r3, train=False)
-            return tp, gv
-
         _mark("gen256: init (jitted)")
-        tp, gv = init(jax.random.PRNGKey(0))
-
-        @jax.jit
-        def gen_chain(tp, gv, caps, lens, seed):
-            def rep(i, acc):
-                key = jax.random.fold_in(jax.random.PRNGKey(0), seed + i)
-                r_z, r_ca = jax.random.split(key)
-                words, sent = text_encoder.apply(tp, caps + (seed + i) % 2, lens)
-                z = jax.random.normal(r_z, (batch, gan.z_dim))
-                imgs, _, _, _ = gnet.apply(gv, z, sent, words, caps == 0, r_ca, train=False)
-                return acc + jnp.sum(imgs[-1].astype(jnp.float32))
-
-            return jax.lax.fori_loop(0, chain, rep, jnp.float32(0))
-
+        bench = gen_bench.build(on_tpu=on_tpu, dtype=jnp.bfloat16 if on_tpu else jnp.float32)
         _mark("gen256: compile+warm")
-        float(gen_chain(tp, gv, caps, lens, jnp.int32(10_000)))
+        float(bench.chain_fn(jnp.int32(10_000)))
         best = None
         for attempt in range(2):
             _mark(f"gen256: timing pass {attempt + 1}")
             t0 = time.perf_counter()
             outs = [
-                gen_chain(tp, gv, caps, lens, jnp.int32(attempt * 1000 + k * chain))
-                for k in range(iters)
+                bench.chain_fn(jnp.int32(attempt * 1000 + k * bench.chain)) for k in range(iters)
             ]
             float(outs[-1])
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
-        return {"gen256_images_per_sec": round(batch * chain * iters / best, 2)}
+        return {"gen256_images_per_sec": round(bench.batch * bench.chain * iters / best, 2)}
     except Exception as e:  # noqa: BLE001 — primary metric must still print
         _mark(f"gen bench failed: {type(e).__name__}: {e}")
         return None

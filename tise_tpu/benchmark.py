@@ -123,6 +123,11 @@ def _coco_plan(args, out: str) -> Plan:
     # dashed --batch-size (fid_score.py:53), everything else underscores
     bs = ["--batch-size", str(args.batch_size)] if args.batch_size else []
     bs_u = ["--batch_size", str(args.batch_size)] if args.batch_size else []
+    # detection fast-preset knobs (soa.py / crop_objects.py share them);
+    # argparse defaults match, so pass only when overridden
+    det = (["--roi-sampling", str(args.roi_sampling)] if args.roi_sampling != 2 else []) + (
+        ["--proposals", str(args.proposals)] if args.proposals != 1000 else []
+    )
     crops_dir = os.path.join(out, "crops")
     plan = Plan()
 
@@ -170,7 +175,7 @@ def _coco_plan(args, out: str) -> Plan:
             lambda: soa.main(
                 ["--images", args.soa_images, "--detected_results",
                  os.path.join(out, "soa_detections"), "--saved_file", txt("soa"),
-                 "--weights", w("detector_soa")] + prec
+                 "--weights", w("detector_soa")] + prec + det
             ),
             lambda: dict(
                 zip(("SOA-C", "SOA-I"),
@@ -208,7 +213,7 @@ def _coco_plan(args, out: str) -> Plan:
             lambda: crop_objects.main(
                 ["--source_image_dir", args.images,
                  "--saved_cropped_object_dir", crops_dir,
-                 "--weights", w("detector_crop")] + prec
+                 "--weights", w("detector_crop")] + prec + det
             ),
             lambda: {},
         )
@@ -322,6 +327,13 @@ def main(argv: Optional[Sequence[str]] = None) -> Dict[str, float]:
     p.add_argument("--batch_size", type=int, default=0,
                    help="override every stage's batch size (0 = per-CLI defaults); "
                         "the detection stages size their own micro-batches")
+    p.add_argument("--roi-sampling", dest="roi_sampling", type=int, default=2, choices=(1, 2),
+                   help="(coco) ROIAlign samples/bin for the soa+crop stages; 1 is the "
+                        "~2x fast sweep preset (detection agreement tested, "
+                        "tests/test_detection.py)")
+    p.add_argument("--proposals", type=int, default=1000,
+                   help="(coco) post-NMS RPN proposals for the soa+crop stages; 256 is "
+                        "the fast sweep preset")
     p.add_argument("--only", type=str, default="", help="comma-separated stage names to run")
     p.add_argument("--skip", type=str, default="", help="comma-separated stage names to skip")
     args = p.parse_args(argv)

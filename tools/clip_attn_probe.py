@@ -126,7 +126,7 @@ def main() -> None:
     def pad_t_variant(pack: int, tpad: int):
         """pack-p with T zero-padded to ``tpad`` INSIDE attention only: the
         score matmuls see (p*tpad)-row tiles (pack=2/tpad=64 -> exactly one
-        128 MXU tile, 100%% row occupancy) while the score buffer stays the
+        128 MXU tile, 100% row occupancy) while the score buffer stays the
         smallest of any >=128-row packing ([b/2, h, 128, 128] vs pack-4's
         [b/4, h, 200->256, 200->256]).  Dense ops (qkv/mlp) never see the
         padding.  Padded key columns are masked; padded query rows are

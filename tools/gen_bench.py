@@ -5,28 +5,27 @@ The reference's evaluation protocol generates 30k-80k images per metric run
 batch size 10 on one GPU; this tool measures the TPU-native equivalent — the
 full caption->image sampling pipeline (bi-LSTM text encoder + CA_NET + 3-stage
 G forward at the production eval dims GF_DIM=64/R_NUM=3, cfg/eval_coco.yml) —
-in images/sec/chip at the finest 256px scale.
+in images/sec/chip at the finest 256px scale, in both f32 and bf16 (bf16 is
+the TPU eval-time fast path; training stays f32).
 
-Measurement follows bench.py's tunnel rules: jitted init, salt-varied chained
-reps inside one dispatch (fori_loop) to amortize the ~10 ms/dispatch tax,
-sync by pulling one scalar, best of two passes.  f32 and bf16 G forwards are
-both timed (bf16 is the TPU eval-time fast path; training stays f32).
+Model setup + the salted dispatch chain live in tise_tpu.models.gen_bench
+(shared with bench.py's generation_throughput section so the copies cannot
+drift); the tunnel timing rules are documented there and in bench.py.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])  # repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from tise_tpu.backbones import damsm
-from tise_tpu.models.attngan_pp.generator import GanConfig, GNet
+from tise_tpu.models import gen_bench
 
 _T0 = time.perf_counter()
 
@@ -39,65 +38,24 @@ def main() -> None:
     if "--cpu" in sys.argv:  # smoke mode (JAX_PLATFORMS env is ignored here)
         jax.config.update("jax_platforms", "cpu")
     on_tpu = jax.default_backend() not in ("cpu",)
-    batch = 64 if on_tpu else 2
-    chain = 8 if on_tpu else 1
     iters = 4 if on_tpu else 1
-    ntoken = 27297 if on_tpu else 64  # coco captions.pickle vocab size
-    gan = GanConfig(gf_dim=64 if on_tpu else 8, df_dim=32, r_num=3 if on_tpu else 1,
-                    words_num=20, embedding_dim=256 if on_tpu else 32)
-    _mark(f"backend={jax.default_backend()} batch={batch} gf_dim={gan.gf_dim}")
-
-    text_encoder = damsm.RNNEncoder(ntoken=ntoken, nhidden=gan.embedding_dim // 2)
-    host = np.random.RandomState(0)
-    caps = jnp.asarray(host.randint(1, ntoken, (batch, gan.words_num)).astype(np.int32))
-    lens = jnp.asarray(host.randint(5, gan.words_num + 1, (batch,)).astype(np.int32))
+    _mark(f"backend={jax.default_backend()}")
 
     line = {}
     for name, dtype in [("f32", jnp.float32), ("bf16", jnp.bfloat16)]:
-        gnet = GNet(cfg=gan, dtype=dtype)
-
-        @jax.jit
-        def init(r):
-            r1, r2, r3 = jax.random.split(r, 3)
-            tp = text_encoder.init(r1, caps, lens)
-            words, sent = text_encoder.apply(tp, caps, lens)
-            gv = gnet.init(
-                r2, jnp.zeros((batch, gan.z_dim)), sent, words, caps == 0, r3, train=False
-            )
-            return tp, gv
-
         _mark(f"{name}: init (jitted)")
-        tp, gv = init(jax.random.PRNGKey(0))
-
-        @jax.jit
-        def gen_chain(tp, gv, caps, lens, seed):
-            # full production sampling path: text encode once per batch, then
-            # per-rep fresh z/CA noise; caption salt defeats the tunnel's
-            # result cache across calls without re-uploading anything
-            def rep(i, acc):
-                key = jax.random.fold_in(jax.random.PRNGKey(0), seed + i)
-                r_z, r_ca = jax.random.split(key)
-                words, sent = text_encoder.apply(tp, caps + (seed + i) % 2, lens)
-                z = jax.random.normal(r_z, (batch, gan.z_dim))
-                imgs, _, _, _ = gnet.apply(gv, z, sent, words, caps == 0, r_ca, train=False)
-                return acc + jnp.sum(imgs[-1].astype(jnp.float32))
-
-            return jax.lax.fori_loop(0, chain, rep, jnp.float32(0))
-
+        bench = gen_bench.build(on_tpu=on_tpu, dtype=dtype)
         _mark(f"{name}: compile+warm")
-        float(gen_chain(tp, gv, caps, lens, jnp.int32(10_000)))
+        float(bench.chain_fn(jnp.int32(10_000)))
         best = None
         for attempt in range(2):
             _mark(f"{name}: timing pass {attempt + 1}")
             t0 = time.perf_counter()
-            outs = [
-                gen_chain(tp, gv, caps, lens, jnp.int32(attempt * 1000 + k * chain))
-                for k in range(iters)
-            ]
+            outs = [bench.chain_fn(jnp.int32(attempt * 1000 + k * bench.chain)) for k in range(iters)]
             float(outs[-1])
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
-        ips = batch * chain * iters / best
+        ips = bench.batch * bench.chain * iters / best
         _mark(f"{name}: {ips:.1f} img/s")
         line[f"gen256_images_per_sec_{name}"] = round(ips, 2)
 
