@@ -1,0 +1,81 @@
+"""Subprocess worker for the multi-host GAN train-step test.
+
+Joins a real 2-process CPU ``jax.distributed`` cluster, builds ONE global
+(data,) mesh spanning both processes' devices, runs ONE fused AttnGAN++ train
+step with the global batch sharded across processes (the reference's
+DataParallel scatter/gather, AttnGAN++/trainer.py:126-131, degenerates to
+this data-axis sharding — grads/BN moments reduce across processes inside the
+jitted step), and saves the replicated metrics + updated-parameter tree for
+the parent to compare against its single-process oracle.
+"""
+
+import json
+import sys
+
+import numpy as np
+
+
+def main() -> None:
+    pid, nproc, port, out_dir, cache_dir = (
+        int(sys.argv[1]),
+        int(sys.argv[2]),
+        sys.argv[3],
+        sys.argv[4],
+        sys.argv[5],
+    )
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.distributed.initialize(f"localhost:{port}", num_processes=nproc, process_id=pid)
+    assert jax.process_count() == nproc
+
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from multihost_train_common import make_world  # script-by-path: tests/ on sys.path
+
+    cfg, models, state, enc, batch_np = make_world()
+    from tise_tpu.models.attngan_pp import trainer as T
+
+    # one GLOBAL mesh over every device of every process (the parent pins 2
+    # virtual CPU devices per process -> 4-device data axis, batch 4)
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    assert mesh.devices.size == nproc * jax.local_device_count()
+    assert cfg.batch_size % mesh.devices.size == 0
+
+    def globalize(x, spec):
+        x = np.asarray(x)
+        sh = NamedSharding(mesh, spec)
+        return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+    batch = T.Batch(
+        images=tuple(globalize(im, P("data")) for im in batch_np.images),
+        captions=globalize(batch_np.captions, P("data")),
+        cap_lens=globalize(batch_np.cap_lens, P("data")),
+        class_ids=globalize(batch_np.class_ids, P("data")),
+    )
+    repl = lambda t: jax.tree.map(lambda x: globalize(x, P()), t)  # noqa: E731
+    step = T.make_sharded_train_step(cfg, models, mesh)
+    new_state, metrics = step(repl(state), batch, repl(enc), jax.random.PRNGKey(1))
+
+    # outputs are replicated -> every process holds the full values
+    metrics = {k: float(v) for k, v in metrics.items()}
+    flat = np.concatenate(
+        [np.asarray(l, np.float32).ravel() for l in jax.tree_util.tree_leaves(new_state.g_params)]
+    )
+    ema = np.concatenate(
+        [np.asarray(l, np.float32).ravel() for l in jax.tree_util.tree_leaves(new_state.g_ema)]
+    )
+    with open(f"{out_dir}/train_metrics_{pid}.json", "w") as f:
+        json.dump({**metrics, "step": int(np.asarray(new_state.step))}, f)
+    np.save(f"{out_dir}/train_gparams_{pid}.npy", flat)
+    np.save(f"{out_dir}/train_gema_{pid}.npy", ema)
+    from tise_tpu.parallel import multihost
+
+    multihost.barrier("train_done")
+    print(f"[p{pid}] TRAIN OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

