@@ -78,6 +78,13 @@ class _StubScorer:
                 out[i, 1] = 10.0
         return out
 
+    # bank-path stand-ins (the dedup default routes through these)
+    def encode_text_bank(self, tokens, *, batch_size=1024):
+        return np.zeros((len(tokens), 4), np.float32)
+
+    def logits_from_bank(self, images, bank, idx):
+        return self.logits(images, np.zeros((images.shape[0], idx.shape[1], 77), np.int32))
+
 
 def _write_indexed_images(d, ids, size=224):
     os.makedirs(d, exist_ok=True)
@@ -272,6 +279,30 @@ class TestFastScorerPaths:
         assert ref.shape == fast.shape == (2, 3)
         scale = max(np.abs(ref).max(), 1e-6)
         np.testing.assert_allclose(fast, ref, rtol=5e-2, atol=5e-2 * scale)
+
+    def test_text_bank_matches_direct(self):
+        """The dedup rank path (unique-caption bank + gather + dot) must equal
+        the per-item path — the bank hoists the text tower out of the item
+        loop, it does not change the math (clip_scorer.logits_from_bank)."""
+        import jax
+
+        from tise_tpu.backbones import clip_vit
+        from tise_tpu.metrics.clip_scorer import ClipPairScorer
+
+        params = clip_vit.random_params(jax.random.PRNGKey(0))
+        rng = np.random.RandomState(1)
+        b, k, n_uniq = 3, 5, 7
+        imgs = rng.randint(0, 256, (b, 224, 224, 3)).astype(np.uint8)
+        uniq = np.zeros((n_uniq, 77), np.int32)
+        uniq[:, 0] = 49406
+        uniq[:, 1] = rng.randint(1, 400, n_uniq)
+        uniq[:, 2] = 49407
+        idx = rng.randint(0, n_uniq, (b, k)).astype(np.int32)  # repeats captions
+        scorer = ClipPairScorer(params)
+        direct = scorer.logits(imgs, uniq[idx])
+        bank = scorer.encode_text_bank(uniq, batch_size=4)  # exercises batching
+        via_bank = scorer.logits_from_bank(imgs, bank, idx)
+        np.testing.assert_allclose(via_bank, direct, rtol=1e-4, atol=1e-4)
 
     def test_fid_fast_extractor_matches_flax(self, tmp_path):
         import jax

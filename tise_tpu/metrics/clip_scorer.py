@@ -58,6 +58,7 @@ class ClipPairScorer:
             scale = jnp.exp(p["params"]["logit_scale"].astype(jnp.float32))
             return scale * jnp.einsum("bd,bkd->bk", img.astype(jnp.float32), txt.astype(jnp.float32))
 
+        self._fwd_raw = fwd  # unjitted (tools/rp_bench.py wraps it with a salt)
         self._fwd = jax.jit(
             fwd,
             in_shardings=(
@@ -67,10 +68,91 @@ class ClipPairScorer:
             ),
             out_shardings=NamedSharding(self.mesh, P(data)),
         )
+        self._fast_visual = fast_visual
+        self._encode_fn = None  # text-bank programs jitted on first use
+        self._from_bank_fn = None
 
     @property
     def data_parallel(self) -> int:
         return self.mesh.shape[self.mesh.axis_names[0]]
+
+    def _build_bank_fns(self):
+        """Lazily jit the text-bank programs (encode + rank-from-bank)."""
+        if getattr(self, "_encode_fn", None) is not None:
+            return
+        model = clip_vit.CLIP(dtype=jnp.float32)
+        data = self.mesh.axis_names[0]
+        repl = NamedSharding(self.mesh, P())
+        shard = NamedSharding(self.mesh, P(data))
+
+        def encode(p, tokens):
+            txt = model.apply(p, tokens, method=model.encode_text)
+            return txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
+
+        self._encode_fn = jax.jit(
+            encode, in_shardings=(repl, shard), out_shardings=shard
+        )
+
+        fast_visual = self._fast_visual
+
+        def from_bank(p, images_u8, bank, idx):
+            # images_u8: [B, 224, 224, 3]; bank: [N, D] unit rows; idx: [B, K]
+            x = normalize(images_u8, "clip", jnp.bfloat16 if fast_visual else jnp.float32)
+            if fast_visual is not None:
+                img = fast_visual(x).astype(jnp.float32)
+            else:
+                img = model.apply(p, x, method=model.encode_image)
+            img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+            txt = jnp.take(bank, idx, axis=0)  # [B, K, D]
+            scale = jnp.exp(p["params"]["logit_scale"].astype(jnp.float32))
+            return scale * jnp.einsum("bd,bkd->bk", img.astype(jnp.float32), txt)
+
+        self._from_bank_raw = from_bank  # unjitted (tools/rp_bench.py wraps it with a salt)
+        self._from_bank_fn = jax.jit(
+            from_bank,
+            in_shardings=(repl, shard, repl, shard),
+            out_shardings=shard,
+        )
+
+    def encode_text_bank(self, tokens: np.ndarray, *, batch_size: int = 1024) -> jax.Array:
+        """[N, 77] int32 -> [N, D] unit-norm float32 embeddings ON DEVICE.
+
+        The text-bank half of the dedup rank path (see ``logits_from_bank``):
+        each UNIQUE caption is encoded once instead of once per (item,
+        caption-slot) pair.  The reference re-runs the text tower on the same
+        100 captions for every item (RP_coco.py:70-73); with mismatched
+        captions drawn from the shared caption pool (datasets.py:300-319) a
+        30k-item run repeats each caption ~100x — this path removes exactly
+        that repetition and nothing else (same tokens -> bitwise-same
+        embedding rows)."""
+        self._build_bank_fns()
+        n = len(tokens)
+        dp = self.data_parallel
+        outs = []
+        for start in range(0, n, batch_size):
+            chunk = tokens[start : start + batch_size]
+            pad = (-len(chunk)) % dp
+            if pad:
+                chunk = np.concatenate([chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
+            outs.append(self._encode_fn(self.params, chunk)[: len(tokens[start : start + batch_size])])
+        return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
+    def logits_from_bank(self, images_u8: np.ndarray, bank: jax.Array, idx: np.ndarray) -> np.ndarray:
+        """[B,224,224,3] uint8 + [N,D] bank + [B,K] int32 rows -> [B,K] logits.
+
+        Equivalent to ``logits(images, tokens[idx])`` with the text tower
+        hoisted out (exact: the per-item logit is scale * <img, txt> either
+        way); the per-step cost drops from B*(1 image + K text) forwards to
+        B image forwards + a [B,K,D] gather."""
+        self._build_bank_fns()
+        b = images_u8.shape[0]
+        dp = self.data_parallel
+        pad = (-b) % dp
+        if pad:
+            images_u8 = np.concatenate([images_u8, np.zeros((pad,) + images_u8.shape[1:], images_u8.dtype)])
+            idx = np.concatenate([idx, np.zeros((pad,) + idx.shape[1:], idx.dtype)])
+        out = np.asarray(jax.device_get(self._from_bank_fn(self.params, images_u8, bank, idx)))
+        return out[:b]
 
     def logits(self, images_u8: np.ndarray, tokens: np.ndarray) -> np.ndarray:
         """[B, 224, 224, 3] uint8 + [B, K, 77] int32 -> [B, K] float32."""

@@ -53,25 +53,57 @@ def score_items(
     *,
     batch_size: int = 64,
     num_workers: int = 8,
+    dedup_text: bool = True,
 ) -> np.ndarray:
     """-> bool success per item (GT caption ranked first among 100).
 
-    Multi-host: items shard across processes (local mesh each), successes
-    allgather into global item order (tise_tpu/parallel/multihost.py)."""
+    ``dedup_text`` (default): every UNIQUE caption string is tokenized and
+    text-tower-encoded exactly once into a device-resident embedding bank;
+    per-item ranking gathers its 100 rows and dots them against the image
+    embedding.  Exact — same tokens produce bitwise-same embeddings, and the
+    logit is scale*<img,txt> either way — but removes the ~100x caption
+    repetition the reference re-encodes per item (RP_coco.py:70-73;
+    mismatched captions come from the shared caption pool,
+    datasets.py:300-319).  Bank memory is unique_captions x 512 f32 on
+    device; pass ``dedup_text=False`` to re-encode per item like the
+    reference if the caption set is adversarially all-unique AND too large
+    to hold (3M unique rows = 6 GB).
+
+    Multi-host: items shard across processes (local mesh each; the bank is
+    built replicated per process), successes allgather into global item
+    order (tise_tpu/parallel/multihost.py)."""
     from tise_tpu.parallel import multihost
 
     n = len(items)
     sel, gidx = multihost.shard_items(list(range(n)))
     local = np.zeros(len(sel), dtype=bool)
+
+    bank = None
+    if dedup_text:
+        cap_id: Dict[str, int] = {}
+        item_rows = []
+        for i in sel:
+            caps = [items[i]["caption"]] + list(items[i]["mismatched_captions"])
+            item_rows.append([cap_id.setdefault(c, len(cap_id)) for c in caps])
+        uniq = list(cap_id)
+        toks = np.concatenate(
+            [tokenizer.tokenize(uniq[s : s + 2048]) for s in range(0, len(uniq), 2048)]
+        ) if uniq else np.zeros((0, 77), np.int32)
+        bank = scorer.encode_text_bank(toks)
+        rows = np.asarray(item_rows, dtype=np.int32) if item_rows else np.zeros((0, 1), np.int32)
+
     with ThreadPoolExecutor(max_workers=num_workers) as pool:
         for start in range(0, len(sel), batch_size):
             chunk = sel[start : start + batch_size]
             imgs = list(pool.map(lambda i: center_crop_resize(image_paths[i], 224), chunk))
-            toks = []
-            for i in chunk:
-                caps = [items[i]["caption"]] + list(items[i]["mismatched_captions"])
-                toks.append(tokenizer.tokenize(caps))
-            logits = scorer.logits(np.stack(imgs), np.stack(toks))
+            if dedup_text:
+                logits = scorer.logits_from_bank(np.stack(imgs), bank, rows[start : start + len(chunk)])
+            else:
+                toks = []
+                for i in chunk:
+                    caps = [items[i]["caption"]] + list(items[i]["mismatched_captions"])
+                    toks.append(tokenizer.tokenize(caps))
+                logits = scorer.logits(np.stack(imgs), np.stack(toks))
             local[start : start + len(chunk)] = np.argmax(logits, axis=1) == 0
     return multihost.allgather_rows(local, gidx, n)
 
@@ -85,11 +117,14 @@ def compute_rp(
     num_bins: int = NUM_SPLITS,
     seed: int = 0,
     batch_size: int = 64,
+    dedup_text: bool = True,
 ) -> Tuple[float, float, List[float]]:
     import os
 
     paths = [os.path.join(image_dir, f"{item['caption_id']}.png") for item in rp_input]
-    success = score_items(rp_input, paths, scorer, tokenizer, batch_size=batch_size)
+    success = score_items(
+        rp_input, paths, scorer, tokenizer, batch_size=batch_size, dedup_text=dedup_text
+    )
     bins = make_bins(len(rp_input), num_bins, seed)
     bin_scores = [float(np.mean(success[b])) for b in bins]
     return float(np.mean(bin_scores)), float(np.std(bin_scores)), bin_scores
@@ -105,6 +140,12 @@ def main(argv=None) -> None:
     p.add_argument("--bpe_path", type=str, required=True, help="CLIP BPE vocab (bpe_simple_vocab_16e6.txt.gz)")
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--no-dedup-text",
+        action="store_true",
+        help="re-encode the 100 captions per item like the reference instead "
+        "of the unique-caption embedding bank (exact either way; see score_items)",
+    )
     add_precision_flag(p)
     add_distributed_flags(p)
     args = p.parse_args(argv)
@@ -117,7 +158,13 @@ def main(argv=None) -> None:
     scorer = ClipPairScorer(clip_vit.load_params(args.weights), fast=args.precision == "fast")
     tokenizer = SimpleTokenizer(args.bpe_path)
     mean, std, bin_scores = compute_rp(
-        rp_input, args.image_dir, scorer, tokenizer, seed=args.seed, batch_size=args.batch_size
+        rp_input,
+        args.image_dir,
+        scorer,
+        tokenizer,
+        seed=args.seed,
+        batch_size=args.batch_size,
+        dedup_text=not args.no_dedup_text,
     )
     for i, s in enumerate(bin_scores):
         print(f"Bin: {i}, RP: {s}")
