@@ -74,7 +74,9 @@ class ResNet50(nn.Module):
         d = self.dtype
         x = ConvFrozenBN(64, (7, 7), (2, 2), padding=((3, 3), (3, 3)), dtype=d, name="stem")(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
-        out: Dict[str, jax.Array] = {}
+        # the stem endpoint is exposed for stage ablation (tools/det_ablate.py
+        # --stages stem,...): consumers that ignore it cost nothing (XLA DCE)
+        out: Dict[str, jax.Array] = {"stem": x}
         stage_defs = [("res2", 64, 256, 3, 1), ("res3", 128, 512, 4, 2), ("res4", 256, 1024, 6, 2), ("res5", 512, 2048, 3, 2)]
         for name, width, out_ch, blocks, stride in stage_defs:
             for i in range(blocks):

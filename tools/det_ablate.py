@@ -40,7 +40,15 @@ def build_stage_fn(model, stage: str):
 
         # mirror FasterRCNN.__call__ stage by stage via bound submodules
         def inner(mdl):
-            feats = mdl.fpn(mdl.backbone(image[None]))
+            bb = mdl.backbone(image[None])
+            # backbone sub-stages (VERDICT r4 item 4): consuming only the
+            # stem/resN endpoint lets XLA dead-code-eliminate everything
+            # after it — whole-model ablation of the conv bucket
+            if stage in ("stem", "res2", "res3", "res4", "res5"):
+                return jnp.sum(bb[stage].astype(jnp.float32))
+            feats = mdl.fpn(bb)
+            if stage == "fpn":
+                return sum(jnp.sum(f.astype(jnp.float32)) for f in feats)
             logits, deltas = mdl.rpn(feats)
             if stage == "convs":
                 return sum(jnp.sum(l.astype(jnp.float32)) for l in logits) + sum(

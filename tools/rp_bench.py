@@ -1,0 +1,173 @@
+"""RP (COCO) end-to-end throughput on the real TPU (VERDICT r4 item 2).
+
+The reference scores R-precision one image x 100 captions per forward
+(text_relevance/RP_coco.py:56-80, batch size 1) — a 30k-item run is ~3M text
+-tower forwards (~600 GFLOP/item).  The TPU path has two levers measured
+here:
+
+  * batched (image x caption-set) scoring (metrics/clip_scorer.py) — the r2
+    redesign;
+  * the unique-caption embedding bank (``logits_from_bank``): mismatched
+    captions come from the shared caption pool (reference
+    datasets.py:300-319), so each caption repeats ~100x across items; the
+    bank encodes each unique caption ONCE and ranks via a [B,100,512] gather
+    + dot.  Exact (same tokens -> same embedding rows; parity test
+    tests/test_metric_logic.py::test_text_bank_matches_direct).
+
+Measured phases, mirroring a production run with n_items items whose caption
+pool is the n_items GT captions (the real COCO RP pickle shape):
+  1. bank build: tokenized unique captions -> [N,512] embeddings on device;
+  2. rank loop: per-batch dispatch of image-tower forward + bank gather,
+     pulling the [B,100] logit block per batch exactly like
+     ``score_items`` does.
+
+Host decode/upload is EXCLUDED like every pipeline bench here (images are
+pre-staged uint8 on device and salt-xor-cycled): the axon tunnel's ~40 MB/s
+lazy uploads would otherwise measure only the tunnel, and the 1-CPU host's
+~250 img/s PIL decode is a property of this dev box, not the design (a real
+TPU host feeds 224px uint8 at PCIe rates; see ROADMAP.md).
+
+Also times the per-item (non-dedup) path on a few batches for the
+comparison line the reference's design would pay.
+
+    python tools/rp_bench.py [--cpu] [--items N] [--batch B]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_T0 = time.perf_counter()
+
+
+def _mark(msg: str) -> None:
+    print(f"[rp_bench +{time.perf_counter() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--items", type=int, default=10240)
+    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--direct-batches", type=int, default=2,
+                   help="batches to time on the per-item (non-dedup) path")
+    args = p.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        args.items, args.batch = 8, 4
+    on_tpu = jax.default_backend() not in ("cpu",)
+
+    from tise_tpu.backbones import clip_vit
+    from tise_tpu.metrics.clip_scorer import ClipPairScorer
+
+    k = 100  # 1 GT + 99 mismatched (RP_coco.py:67-69)
+    n_items = args.items
+    batch = args.batch
+    _mark(f"backend={jax.default_backend()} items={n_items} batch={batch}")
+
+    params = jax.jit(clip_vit.random_params)(jax.random.PRNGKey(0))
+    scorer = ClipPairScorer(params, fast=on_tpu)
+    scorer._build_bank_fns()
+
+    # synthetic caption pool: n_items unique captions; each item ranks its own
+    # GT against 99 drawn from the pool — the real pickle's shape
+    host = np.random.RandomState(0)
+    toks = np.zeros((n_items, 77), np.int32)
+    toks[:, 0] = 49406
+    toks[:, 1:5] = host.randint(1, 49000, (n_items, 4))
+    toks[:, 5] = 49407
+    idx = np.concatenate(
+        [np.arange(n_items)[:, None], host.randint(0, n_items, (n_items, k - 1))], axis=1
+    ).astype(np.int32)
+
+    # ---- phase 1: bank build (tokenization excluded: ~30k unique captions
+    # tokenize once in ~10 s on any host and is not a device property;
+    # tokens are pre-staged on device — the tunnel's lazy uploads stall for
+    # minutes if left inside the timed region, see ROADMAP.md) ----
+    toks_dev = jax.device_put(toks)
+    int(jax.jit(lambda x: jnp.sum(x, dtype=jnp.int32))(toks_dev))
+    _mark("bank: compile+warm")
+    scorer.encode_text_bank(toks_dev[:1024])  # compile at the loop batch shape
+    _mark("bank: timing")
+    best_bank = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        bank = scorer.encode_text_bank(toks_dev)
+        float(jnp.sum(bank))  # tunnel sync (block_until_ready doesn't block)
+        dt = time.perf_counter() - t0
+        best_bank = dt if best_bank is None else min(best_bank, dt)
+    _mark(f"bank: {n_items} captions in {best_bank:.2f}s")
+
+    # ---- phase 2: rank loop (pre-staged salted device images) ----
+    imgs = jax.device_put(host.randint(0, 256, (batch, 224, 224, 3)).astype(np.uint8))
+    int(jax.jit(lambda x: jnp.sum(x, dtype=jnp.int32))(imgs))
+
+    raw = scorer._from_bank_raw
+
+    @jax.jit
+    def fwd(p, im, bk, ix, salt):
+        return raw(p, jnp.bitwise_xor(im, salt), bk, ix)
+
+    n_batches = n_items // batch
+    idx_dev = jax.device_put(idx)
+    _mark("rank: compile+warm")
+    np.asarray(fwd(params, imgs, bank, idx_dev[:batch], jnp.uint8(255)))
+    best_rank = None
+    for attempt in range(2):
+        _mark(f"rank: timing pass {attempt + 1} ({n_batches} batches)")
+        succ = 0
+        t0 = time.perf_counter()
+        for bi in range(n_batches):
+            lo = fwd(params, imgs, bank, idx_dev[bi * batch : (bi + 1) * batch],
+                     jnp.uint8(1 + attempt * n_batches + bi))
+            succ += int(np.sum(np.argmax(np.asarray(lo), axis=1) == 0))
+        dt = time.perf_counter() - t0
+        _mark(f"rank: {n_batches * batch} items in {dt:.2f}s (succ={succ})")
+        best_rank = dt if best_rank is None else min(best_rank, dt)
+
+    total = best_bank + best_rank
+    items_per_sec = n_batches * batch / total
+
+    # ---- comparison: the per-item path (batched, but text re-encoded) ----
+    direct_ips = None
+    if args.direct_batches:
+        db = args.direct_batches
+        tok_dev = jax.device_put(toks[idx[: db * batch]].reshape(db, batch, k, 77))
+        int(jax.jit(lambda x: jnp.sum(x, dtype=jnp.int32))(tok_dev))
+        fwd_raw = scorer._fwd_raw
+
+        @jax.jit
+        def fwd_direct(p, im, tk, salt):
+            return fwd_raw(p, jnp.bitwise_xor(im, salt), tk)
+
+        _mark("direct: compile+warm")
+        np.asarray(fwd_direct(params, imgs, tok_dev[0], jnp.uint8(255)))
+        t0 = time.perf_counter()
+        for bi in range(db):
+            np.asarray(fwd_direct(params, imgs, tok_dev[bi], jnp.uint8(bi + 1)))
+        dt = time.perf_counter() - t0
+        direct_ips = db * batch / dt
+        _mark(f"direct: {db * batch} items in {dt:.2f}s")
+
+    line = {
+        "rp_items_per_sec": round(items_per_sec, 2),
+        "rp_bank_sec": round(best_bank, 2),
+        "rp_rank_sec": round(best_rank, 2),
+        "rp_items": n_batches * batch,
+    }
+    if direct_ips is not None:
+        line["rp_direct_items_per_sec"] = round(direct_ips, 2)
+    print(json.dumps(line))
+
+
+if __name__ == "__main__":
+    main()
