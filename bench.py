@@ -36,6 +36,20 @@ def _mark(msg: str) -> None:
     print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
+def _load_tool(name: str):
+    """Import tools/<name>.py as a module (tools/ is not a package; the
+    bench sections that share their setup with a standalone tool import the
+    single copy from there instead of duplicating it — ADVICE r3)."""
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools", f"{name}.py")
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 _T0 = time.perf_counter()
 
 BASELINE_IMAGES_PER_SEC = 5000.0
@@ -415,6 +429,22 @@ def main() -> None:
     gen_ips = generation_throughput(on_tpu)
     if gen_ips is not None:
         line.update(gen_ips)
+    # ---- sections shared with standalone tools (single copy lives there) ----
+    for tool, kwargs in (
+        # fused GAN train step at eval dims (VERDICT r4 #1; tools/train_bench.py)
+        ("train_bench", {"steps": 8 if on_tpu else 2}),
+        # RP bank+rank phases (VERDICT r4 #2; tools/rp_bench.py) — skip the
+        # per-item comparison line here (it re-measures the r2 design)
+        ("rp_bench", {"items": 5120 if on_tpu else 8, "batch": 256 if on_tpu else 4, "direct_batches": 0}),
+        # 448px counter forward + peak stimulation (VERDICT r4 #6;
+        # tools/ca_bench.py); f32 is the CA CLI's production default
+        ("ca_bench", {"dtypes": ("float32",) if on_tpu else ("float32", "bfloat16")}),
+    ):
+        _mark(f"{tool} section")
+        try:
+            line.update(_load_tool(tool).run(**kwargs))
+        except Exception as e:  # noqa: BLE001 — primary metric must still print
+            _mark(f"{tool} failed: {type(e).__name__}: {e}")
     print(json.dumps(line))
 
 

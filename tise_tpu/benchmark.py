@@ -88,8 +88,12 @@ class Stage:
 @dataclass
 class Plan:
     stages: List[Stage] = field(default_factory=list)
+    #: per-stage wall-clock of the completed stages, filled by execute()
+    timings: Dict[str, float] = field(default_factory=dict)
 
     def execute(self) -> Dict[str, float]:
+        import time
+
         values: Dict[str, float] = {}
         done = set()
         for st in self.stages:
@@ -103,10 +107,13 @@ class Plan:
                 print(f"[benchmark] SKIP {st.name} ({why})")
                 continue
             print(f"[benchmark] RUN  {st.name}")
+            t0 = time.perf_counter()
             try:
                 st.run()
                 values.update(st.parse())
                 done.add(st.name)
+                self.timings[st.name] = round(time.perf_counter() - t0, 2)
+                print(f"[benchmark] DONE {st.name} in {self.timings[st.name]:.1f}s")
             except Exception as e:  # noqa: BLE001 — one stage must not kill the run
                 print(f"[benchmark] FAIL {st.name}: {type(e).__name__}: {e}")
         return values
@@ -350,8 +357,11 @@ def main(argv: Optional[Sequence[str]] = None) -> Dict[str, float]:
 
     values = plan.execute()
     print(f"[benchmark] values: {json.dumps(values)}")
+    print(f"[benchmark] stage wall-clock (s): {json.dumps(plan.timings)}")
     with open(os.path.join(out, "metrics.json"), "w") as f:
         json.dump(values, f, indent=1)
+    with open(os.path.join(out, "timings.json"), "w") as f:
+        json.dump(plan.timings, f, indent=1)
 
     if args.track == "coco":
         methods_dir = args.methods_dir or os.path.join(args.output_root, "methods")

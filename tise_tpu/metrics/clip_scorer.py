@@ -155,7 +155,11 @@ class ClipPairScorer:
         return out[:b]
 
     def logits(self, images_u8: np.ndarray, tokens: np.ndarray) -> np.ndarray:
-        """[B, 224, 224, 3] uint8 + [B, K, 77] int32 -> [B, K] float32."""
+        """[B, 224, 224, 3] uint8 + [B, K, 77] int32 -> [B, K] float32.
+
+        Text activations scale with B*K rows — at K=100 keep B <= ~64 on a
+        16 GB chip (B=256 allocates a 15 GB f32 MLP temp, measured HBM OOM);
+        ``logits_from_bank`` removes the K axis entirely."""
         b = images_u8.shape[0]
         dp = self.data_parallel
         pad = (-b) % dp

@@ -46,6 +46,8 @@ def compute_o_is(
     splits: int = NUM_SPLITS,
 ) -> Tuple[float, float]:
     loader = ImageFolderLoader.from_dir(image_dir, batch_size, 299)
+    if loader.num_images() == 0:
+        raise RuntimeError(f"No images found under: {image_dir}")
     logits = extractor.run(loader, keys=("logits",))["logits"]
     probs = np.asarray(kl.temperature_softmax(jnp.asarray(logits), O_IS_TEMPERATURE))
     return kl.inception_score(probs, splits)

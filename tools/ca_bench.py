@@ -20,10 +20,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -36,19 +37,15 @@ def _mark(msg: str) -> None:
     print(f"[ca_bench +{time.perf_counter() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
-def main() -> None:
-    p = argparse.ArgumentParser()
-    p.add_argument("--cpu", action="store_true")
-    p.add_argument("--batch", type=int, default=32)
-    args = p.parse_args()
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
+def run(*, batch: int = 32, dtypes: tuple = ("float32", "bfloat16")) -> dict:
+    """Time the counter forward on the current backend.  Importable by
+    bench.py (CA section) — keep the single copy here."""
     on_tpu = jax.default_backend() not in ("cpu",)
 
     from tise_tpu.backbones import counter as counter_lib
     from tise_tpu.ops.preprocess import normalize
 
-    batch = args.batch if on_tpu else 2
+    batch = batch if on_tpu else 2
     size = 448 if on_tpu else 64
     chain = 8 if on_tpu else 1
     iters = 4 if on_tpu else 1
@@ -59,7 +56,8 @@ def main() -> None:
     int(jax.jit(lambda x: jnp.sum(x, dtype=jnp.int32))(imgs))
 
     line = {}
-    for key, dtype in (("ca_images_per_sec", jnp.float32), ("ca_fast_images_per_sec", jnp.bfloat16)):
+    names = {"float32": ("ca_images_per_sec", jnp.float32), "bfloat16": ("ca_fast_images_per_sec", jnp.bfloat16)}
+    for key, dtype in (names[d] for d in dtypes):
         model = counter_lib.FCResNet50PRM(dtype=dtype)
         params = jax.jit(
             lambda r, _m=model, _d=dtype: _m.init(r, jnp.zeros((1, size, size, 3), _d))
@@ -88,7 +86,17 @@ def main() -> None:
         _mark(f"{key}: {line[key]} img/s")
         del params
 
-    print(json.dumps(line))
+    return line
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--batch", type=int, default=32)
+    args = p.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    print(json.dumps(run(batch=args.batch)))
 
 
 if __name__ == "__main__":

@@ -37,10 +37,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -53,25 +54,16 @@ def _mark(msg: str) -> None:
     print(f"[rp_bench +{time.perf_counter() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
-def main() -> None:
-    p = argparse.ArgumentParser()
-    p.add_argument("--cpu", action="store_true")
-    p.add_argument("--items", type=int, default=10240)
-    p.add_argument("--batch", type=int, default=256)
-    p.add_argument("--direct-batches", type=int, default=2,
-                   help="batches to time on the per-item (non-dedup) path")
-    args = p.parse_args()
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
-        args.items, args.batch = 8, 4
+def run(*, items: int = 10240, batch: int = 256, direct_batches: int = 2) -> dict:
+    """Build and time the RP phases on the current backend.  Importable by
+    bench.py (RP section) — keep the single copy here."""
     on_tpu = jax.default_backend() not in ("cpu",)
 
     from tise_tpu.backbones import clip_vit
     from tise_tpu.metrics.clip_scorer import ClipPairScorer
 
     k = 100  # 1 GT + 99 mismatched (RP_coco.py:67-69)
-    n_items = args.items
-    batch = args.batch
+    n_items = items
     _mark(f"backend={jax.default_backend()} items={n_items} batch={batch}")
 
     params = jax.jit(clip_vit.random_params)(jax.random.PRNGKey(0))
@@ -138,25 +130,30 @@ def main() -> None:
     items_per_sec = n_batches * batch / total
 
     # ---- comparison: the per-item path (batched, but text re-encoded) ----
+    # at the production score_items batch of 64: the direct path's text
+    # activations scale with B*K rows (B=256 x K=100 = 25.6k rows -> a 15 GB
+    # f32 MLP temp, HBM OOM — measured; the bank path removes that axis)
     direct_ips = None
-    if args.direct_batches:
-        db = args.direct_batches
-        tok_dev = jax.device_put(toks[idx[: db * batch]].reshape(db, batch, k, 77))
+    if direct_batches:
+        db = direct_batches
+        dbatch = min(batch, 64)
+        tok_dev = jax.device_put(toks[idx[: db * dbatch]].reshape(db, dbatch, k, 77))
         int(jax.jit(lambda x: jnp.sum(x, dtype=jnp.int32))(tok_dev))
         fwd_raw = scorer._fwd_raw
+        imgs_d = imgs[:dbatch]
 
         @jax.jit
         def fwd_direct(p, im, tk, salt):
             return fwd_raw(p, jnp.bitwise_xor(im, salt), tk)
 
         _mark("direct: compile+warm")
-        np.asarray(fwd_direct(params, imgs, tok_dev[0], jnp.uint8(255)))
+        np.asarray(fwd_direct(params, imgs_d, tok_dev[0], jnp.uint8(255)))
         t0 = time.perf_counter()
         for bi in range(db):
-            np.asarray(fwd_direct(params, imgs, tok_dev[bi], jnp.uint8(bi + 1)))
+            np.asarray(fwd_direct(params, imgs_d, tok_dev[bi], jnp.uint8(bi + 1)))
         dt = time.perf_counter() - t0
-        direct_ips = db * batch / dt
-        _mark(f"direct: {db * batch} items in {dt:.2f}s")
+        direct_ips = db * dbatch / dt
+        _mark(f"direct: {db * dbatch} items (batch {dbatch}) in {dt:.2f}s")
 
     line = {
         "rp_items_per_sec": round(items_per_sec, 2),
@@ -166,7 +163,21 @@ def main() -> None:
     }
     if direct_ips is not None:
         line["rp_direct_items_per_sec"] = round(direct_ips, 2)
-    print(json.dumps(line))
+    return line
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--items", type=int, default=10240)
+    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--direct-batches", type=int, default=2,
+                   help="batches to time on the per-item (non-dedup) path")
+    args = p.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        args.items, args.batch = 8, 4
+    print(json.dumps(run(items=args.items, batch=args.batch, direct_batches=args.direct_batches)))
 
 
 if __name__ == "__main__":

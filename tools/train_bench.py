@@ -25,10 +25,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -41,19 +42,9 @@ def _mark(msg: str) -> None:
     print(f"[train_bench +{time.perf_counter() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
-def main() -> None:
-    p = argparse.ArgumentParser()
-    p.add_argument("--cpu", action="store_true")
-    p.add_argument("--steps", type=int, default=8, help="steps per timing pass")
-    p.add_argument("--batch", type=int, default=64)
-    p.add_argument("--cache", action="store_true", help="enable the persistent compile cache")
-    args = p.parse_args()
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
-    if args.cache:
-        from tise_tpu.core import compile_cache
-
-        compile_cache.enable()
+def run(*, steps: int = 8, batch: int = 64) -> dict:
+    """Build, compile, and time the fused train step on the current backend.
+    Importable by bench.py (train-step section) — keep the single copy here."""
     on_tpu = jax.default_backend() not in ("cpu",)
 
     from tise_tpu.models.attngan_pp import trainer as T
@@ -61,7 +52,7 @@ def main() -> None:
 
     if on_tpu:
         gan = GanConfig(gf_dim=64, df_dim=32, r_num=3, embedding_dim=256, words_num=20)
-        cfg = T.TrainConfig(gan=gan, batch_size=args.batch, ntoken=27297)
+        cfg = T.TrainConfig(gan=gan, batch_size=batch, ntoken=27297)
     else:
         gan = GanConfig(gf_dim=8, df_dim=8, z_dim=16, condition_dim=16, embedding_dim=32, words_num=8)
         cfg = T.TrainConfig(gan=gan, batch_size=4, ntoken=64)
@@ -96,23 +87,37 @@ def main() -> None:
 
     best = None
     for attempt in range(2):
-        _mark(f"timing pass {attempt + 1} ({args.steps} steps)")
+        _mark(f"timing pass {attempt + 1} ({steps} steps)")
         t0 = time.perf_counter()
-        for _ in range(args.steps):
+        for _ in range(steps):
             state, metrics = step_fn(state, batch, enc, jax.random.PRNGKey(1))
         gl = float(metrics["g_loss"])  # pull one scalar: in-order => all done
         dt = time.perf_counter() - t0
-        _mark(f"pass {attempt + 1}: {dt:.2f}s ({dt / args.steps * 1e3:.0f} ms/step, g_loss={gl:.3f})")
+        _mark(f"pass {attempt + 1}: {dt:.2f}s ({dt / steps * 1e3:.0f} ms/step, g_loss={gl:.3f})")
         best = dt if best is None else min(best, dt)
 
-    step_ms = best / args.steps * 1e3
-    line = {
-        "train_step_images_per_sec": round(cfg.batch_size * args.steps / best, 2),
+    step_ms = best / steps * 1e3
+    return {
+        "train_step_images_per_sec": round(cfg.batch_size * steps / best, 2),
         "train_step_ms": round(step_ms, 1),
         "train_step_compile_sec": round(compile_sec, 1),
-        "batch": cfg.batch_size,
     }
-    print(json.dumps(line))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--steps", type=int, default=8, help="steps per timing pass")
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--cache", action="store_true", help="enable the persistent compile cache")
+    args = p.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.cache:
+        from tise_tpu.core import compile_cache
+
+        compile_cache.enable()
+    print(json.dumps(run(steps=args.steps, batch=args.batch)))
 
 
 if __name__ == "__main__":
