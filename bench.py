@@ -60,8 +60,10 @@ def detector_images_per_sec(on_tpu: bool) -> dict | None:
     80 labels x ~30k images is the reference's longest pipeline).  Measures
     the production fast path: bf16 trunk/heads with f32 score/box epilogues
     (bf16-vs-f32 detection equivalence tested, tests/test_detection.py), the
-    single-gather bin-major multilevel ROIAlign, micro-batch 8 chained inside
-    one dispatch via lax.map + fori_loop so the tunnel's ~10 ms/dispatch tax
+    single-gather bin-major multilevel ROIAlign, per-line micro-batch (8
+    exact / 32 fast — the measured HBM/amortization optima, ROADMAP r4)
+    chained inside one dispatch via lax.map + fori_loop so the tunnel's
+    ~10 ms/dispatch tax
     amortizes like the extraction bench.  Random weights — identical compute
     to the real sweep.  Two lines: ``detector_images_per_sec`` is the default
     config (roi_sampling=2, 1000 proposals — detectron2 test-time parity);
@@ -76,46 +78,53 @@ def detector_images_per_sec(on_tpu: bool) -> dict | None:
         from tise_tpu.backbones.detection.rcnn import FasterRCNN
 
         size = 800 if on_tpu else 128
-        mb = 8 if on_tpu else 2
-        n_chunks = 2 if on_tpu else 1
-        chain = 8 if on_tpu else 1
+        batch = 64 if on_tpu else 2  # images staged once, re-chunked per line
+        chain = 2 if on_tpu else 1
         iters = 4 if on_tpu else 1
         dtype = jnp.bfloat16 if on_tpu else jnp.float32
-        batch = mb * n_chunks
         _mark("detector: init (jitted)")
+        # micro-batch per line: the 800px convs carry a per-CALL cost only
+        # micro-batch amortizes (stem 1.03 -> 0.40 ms/img at mb32, tools/
+        # det_stem_probe.py); the fast preset fits mb32 in HBM, the exact
+        # p1000 path OOMs there and is gather-floored anyway (ROADMAP r4)
         models = {
-            "detector_images_per_sec": FasterRCNN(dtype=dtype, roi_sampling=2),
-            "detector_fast_images_per_sec": FasterRCNN(dtype=dtype, roi_sampling=1, post_nms_topk=256),
+            "detector_images_per_sec": (FasterRCNN(dtype=dtype, roi_sampling=2), 8 if on_tpu else 2),
+            "detector_fast_images_per_sec": (
+                FasterRCNN(dtype=dtype, roi_sampling=1, post_nms_topk=256),
+                32 if on_tpu else 2,
+            ),
         }
         params = jax.jit(
-            lambda r: models["detector_images_per_sec"].init(r, jnp.zeros((size, size, 3), dtype))
+            lambda r: models["detector_images_per_sec"][0].init(r, jnp.zeros((size, size, 3), dtype))
         )(jax.random.PRNGKey(0))
 
         host = np.random.RandomState(1)
-        imgs = jax.device_put(host.randint(0, 256, (n_chunks, mb, size, size, 3)).astype(np.uint8))
-        int(jax.jit(lambda x: jnp.sum(x, dtype=jnp.int32))(imgs))  # materialize upload
+        imgs_flat = jax.device_put(host.randint(0, 256, (batch, size, size, 3)).astype(np.uint8))
+        int(jax.jit(lambda x: jnp.sum(x, dtype=jnp.int32))(imgs_flat))  # materialize upload
         seeds = [jnp.uint8(i * chain) for i in range(iters + 1)]
 
         out: dict = {}
-        for key, model in models.items():
+        for key, (model, mb) in models.items():
 
             def single(p, img_u8, _m=model):
                 x = (img_u8.astype(jnp.float32) - jnp.asarray(PIXEL_MEAN_BGR)).astype(dtype)
                 return _m.apply(p, x)
 
             @jax.jit
-            def fwd(p, imgs_u8, seed0, _single=single):
-                # imgs_u8: [n_chunks, mb, H, W, 3]; per-rep seed xor defeats
-                # the tunnel's result cache without re-uploading the batch
+            def fwd(p, imgs_u8, seed0, _single=single, _mb=mb):
+                # [batch, H, W, 3] -> [n_chunks, mb, H, W, 3]; per-rep seed
+                # xor defeats the tunnel's result cache without re-uploading
+                x4 = imgs_u8.reshape((-1, _mb) + imgs_u8.shape[1:])
+
                 def rep(i, acc):
-                    x = jnp.bitwise_xor(imgs_u8, (seed0 + i).astype(jnp.uint8))
+                    x = jnp.bitwise_xor(x4, (seed0 + i).astype(jnp.uint8))
                     det = jax.lax.map(lambda ch: jax.vmap(_single, in_axes=(None, 0))(p, ch), x)
                     return acc + jnp.sum(det.scores.astype(jnp.float32))
 
                 return jax.lax.fori_loop(0, chain, rep, jnp.float32(0))
 
-            _mark(f"detector: compile+warm ({key})")
-            float(fwd(params, imgs, seeds[0]))  # compile + warm
+            _mark(f"detector: compile+warm ({key}, mb={mb})")
+            float(fwd(params, imgs_flat, seeds[0]))  # compile + warm
             # two passes, best reported — same transport artifact as the
             # fid30k/sweep lines: the tunnel intermittently slows a whole
             # dispatch chain ~2x (one observed 37 vs 86 img/s on this line)
@@ -123,7 +132,7 @@ def detector_images_per_sec(on_tpu: bool) -> dict | None:
             for attempt in range(2):
                 _mark(f"detector: timing ({key}, pass {attempt + 1})")
                 t0 = time.perf_counter()
-                outs = [fwd(params, imgs, (s + jnp.uint8(attempt * 101)).astype(jnp.uint8)) for s in seeds[1:]]
+                outs = [fwd(params, imgs_flat, (s + jnp.uint8(attempt * 101)).astype(jnp.uint8)) for s in seeds[1:]]
                 float(outs[-1])
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
@@ -141,7 +150,7 @@ def detector_images_per_sec(on_tpu: bool) -> dict | None:
         from tise_tpu.backbones.detection.coco_classes import COCO_CLASSES
         from tise_tpu.backbones.detection.predictor import TPUDetector, pack_detections
 
-        fast_model = models["detector_fast_images_per_sec"]
+        fast_model, fast_mb = models["detector_fast_images_per_sec"]
 
         def single_fast(p, img_u8):
             x = (img_u8.astype(jnp.float32) - jnp.asarray(PIXEL_MEAN_BGR)).astype(dtype)
@@ -149,7 +158,7 @@ def detector_images_per_sec(on_tpu: bool) -> dict | None:
 
         @jax.jit
         def sweep_fwd(p, imgs_u8, salt):
-            x = jnp.bitwise_xor(imgs_u8, salt)
+            x = jnp.bitwise_xor(imgs_u8.reshape((-1, fast_mb) + imgs_u8.shape[1:]), salt)
             det = jax.lax.map(lambda ch: jax.vmap(single_fast, in_axes=(None, 0))(p, ch), x)
             return pack_detections(det)
 
@@ -165,9 +174,9 @@ def detector_images_per_sec(on_tpu: bool) -> dict | None:
                     bxs.append(b[i, j])
                 results.append((names, ids, bxs))
 
-        n_batches = 24 if on_tpu else 2
+        n_batches = 12 if on_tpu else 2
         _mark("detector: sweep e2e compile+warm")
-        collect([], sweep_fwd(params, imgs, jnp.uint8(255)))
+        collect([], sweep_fwd(params, imgs_flat, jnp.uint8(255)))
         best = None
         for attempt in range(2):
             _mark(f"detector: sweep e2e timing (pass {attempt + 1})")
@@ -175,7 +184,7 @@ def detector_images_per_sec(on_tpu: bool) -> dict | None:
             inflight = None
             t0 = time.perf_counter()
             for bi in range(n_batches):
-                det = sweep_fwd(params, imgs, jnp.uint8(1 + attempt * n_batches + bi))
+                det = sweep_fwd(params, imgs_flat, jnp.uint8(1 + attempt * n_batches + bi))
                 if inflight is not None:
                     collect(results, inflight)
                 inflight = det

@@ -172,7 +172,18 @@ class TPUDetector:
         base = mesh if mesh is not None else make_mesh()
         data_axis = base.axis_names[0]
         dp = base.shape[data_axis]
-        mb = micro_batch if micro_batch is not None else min(batch_size, 8)
+        if micro_batch is not None:
+            mb = micro_batch
+        else:
+            # measured on v5e at 800px (tools/det_stem_probe.py + det_ablate,
+            # ROADMAP r4): the stem conv carries a ~7 ms per-CALL cost that
+            # only micro-batch amortizes (1.03 -> 0.40 ms/img at mb32), so the
+            # fast preset defaults to 32 (full path 191.5 -> 241.9 img/s).
+            # The exact path keeps 8: its p1000 ROIAlign gather floor absorbs
+            # the conv win (mb16 measured 87.2 vs 86.5 img/s) and mb32
+            # compiles to 24.4 GB — an HBM OOM on a 16 GB chip.
+            fast_preset = roi_sampling == 1 and proposals <= 256
+            mb = min(batch_size, 32 if fast_preset else 8)
         mb = math.gcd(batch_size, mb)  # chain length must be integral
         if mb % dp:
             # the jitted micro-batch must divide evenly over the data axis:
