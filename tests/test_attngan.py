@@ -182,6 +182,30 @@ class TestTrainStep:
         )
         np.testing.assert_allclose(new_e, 0.999 * old_p + 0.001 * new_p, rtol=1e-4, atol=1e-6)
 
+    def test_ablate_sections(self, tiny_cfg):
+        """The profiling hook (tools/train_ablate.py) must skip exactly its
+        section: ablating "ema" reproduces the full step everywhere except
+        g_ema; ablating every update leaves all params untouched while the
+        G-forward BN stats and step counter still advance."""
+        models = build_models(tiny_cfg)
+        state, enc = init_state(tiny_cfg, models, jax.random.PRNGKey(0))
+        batch = synthetic_batch(tiny_cfg, np.random.RandomState(0), tiny_cfg.batch_size)
+        args = (state, batch, enc, jax.random.PRNGKey(1))
+
+        full, m_full = jax.jit(make_train_step(tiny_cfg, models))(*args)
+        no_ema, _ = jax.jit(make_train_step(tiny_cfg, models, ablate=frozenset({"ema"})))(*args)
+        eq = lambda a, b: jax.tree.all(jax.tree.map(lambda x, y: bool(jnp.array_equal(x, y)), a, b))
+        assert eq(no_ema.g_ema, state.g_ema)  # section skipped
+        assert eq(no_ema.g_params, full.g_params) and eq(no_ema.d_params, full.d_params)
+
+        fwd_only, m_fwd = jax.jit(
+            make_train_step(tiny_cfg, models, ablate=frozenset({"d_updates", "g_update", "ema"}))
+        )(*args)
+        assert eq(fwd_only.g_params, state.g_params) and eq(fwd_only.d_params, state.d_params)
+        assert not eq(fwd_only.g_batch_stats, state.g_batch_stats)  # G forward still ran
+        assert int(fwd_only.step) == int(state.step) + 1
+        assert float(m_fwd["g_loss"]) == 0.0 and np.isfinite(float(m_full["g_loss"]))
+
     def test_sharded_step_matches_dryrun(self):
         """The multichip dryrun must pass in a clean subprocess — exactly how
         the driver invokes it: no conftest, default platform, self-provisioned

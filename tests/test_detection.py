@@ -460,6 +460,24 @@ class TestShardedDetector:
         assert det.batch_size == 3
         assert det.mesh.shape[det.mesh.axis_names[0]] == 1
 
+    def test_fast_preset_micro_batch_default(self):
+        """The s1/p256 sweep preset defaults to micro_batch 32 (the measured
+        per-call conv amortization optimum, ROADMAP r4); the exact path keeps
+        8 (mb32 is an HBM OOM at 800px and gather-floored anyway)."""
+        import jax.numpy as jnp
+
+        from tise_tpu.backbones.detection.predictor import TPUDetector
+
+        fast = TPUDetector(None, batch_size=64, input_size=64, dtype=jnp.bfloat16,
+                           roi_sampling=1, proposals=256)
+        assert fast.micro_batch == 32 and fast._n_chunks == 2
+        exact = TPUDetector(None, batch_size=64, input_size=64)
+        assert exact.micro_batch == 8 and exact._n_chunks == 8
+        # explicit override still wins
+        manual = TPUDetector(None, batch_size=64, input_size=64,
+                             roi_sampling=1, proposals=256, micro_batch=16)
+        assert manual.micro_batch == 16
+
 
 class TestPostprocessParity:
     """Static-shape ROI postprocess vs a sequential dynamic-shape reference

@@ -136,13 +136,23 @@ class Batch(NamedTuple):
     class_ids: jax.Array  # int32 [B]
 
 
-def make_train_step(cfg: TrainConfig, models: Models):
+def make_train_step(cfg: TrainConfig, models: Models, ablate: frozenset = frozenset()):
     """Build the fused jitted train step: 3 D updates, then the G update with
     the freshly updated discriminators (reference ordering,
-    trainer.py:332-379), then EMA."""
+    trainer.py:332-379), then EMA.
+
+    ``ablate`` is the profiling hook (tools/train_ablate.py): any subset of
+    {"d_updates", "g_update", "damsm", "ema"} skips that section (XLA then
+    dead-code-eliminates its compute — whole-program ablation, the only
+    timing methodology that survives XLA fusion; see ROADMAP measurement
+    rules).  Production callers pass nothing."""
     g_tx = optax.adam(cfg.g_lr, b1=cfg.beta1, b2=cfg.beta2)
     d_tx = optax.adam(cfg.d_lr, b1=cfg.beta1, b2=cfg.beta2)
     scales = SCALES[: cfg.gan.branch_num]
+    do_d = "d_updates" not in ablate
+    do_g = "g_update" not in ablate
+    do_damsm = "damsm" not in ablate
+    do_ema = "ema" not in ablate
 
     def encode_text(encoder_params, captions, cap_lens):
         words_embs, sent_emb = models.text_encoder.apply(encoder_params["text"], captions, cap_lens)
@@ -190,18 +200,21 @@ def make_train_step(cfg: TrainConfig, models: Models):
 
         d_total = 0.0
         new_d_opt = {}
-        for i, s in enumerate(scales):
-            key = str(s)
-            dnet = models.dnets[s]
-            grad_fn = jax.value_and_grad(d_loss_fn, has_aux=True)
-            (loss, (parts, new_spec)), grads = grad_fn(
-                state.d_params[key], dnet, state.d_spectral[key], batch.images[i], fakes_sg[i]
-            )
-            updates, new_d_opt[key] = d_tx.update(grads, state.d_opt[key], state.d_params[key])
-            new_d_params[key] = optax.apply_updates(state.d_params[key], updates)
-            new_d_spectral[key] = new_spec
-            d_metrics[f"d{s}_loss"] = loss
-            d_total = d_total + loss
+        if do_d:
+            for i, s in enumerate(scales):
+                key = str(s)
+                dnet = models.dnets[s]
+                grad_fn = jax.value_and_grad(d_loss_fn, has_aux=True)
+                (loss, (parts, new_spec)), grads = grad_fn(
+                    state.d_params[key], dnet, state.d_spectral[key], batch.images[i], fakes_sg[i]
+                )
+                updates, new_d_opt[key] = d_tx.update(grads, state.d_opt[key], state.d_params[key])
+                new_d_params[key] = optax.apply_updates(state.d_params[key], updates)
+                new_d_spectral[key] = new_spec
+                d_metrics[f"d{s}_loss"] = loss
+                d_total = d_total + loss
+        else:
+            new_d_params, new_d_spectral, new_d_opt = state.d_params, state.d_spectral, state.d_opt
 
         # ---- G update (uses the UPDATED discriminators) ----
         def g_loss_fn(g_params):
@@ -226,21 +239,31 @@ def make_train_step(cfg: TrainConfig, models: Models):
                 total = total + losses.generator_adv_loss(cond, uncond)
             # DAMSM on the finest scale via the frozen image encoder
             # (losses.py:218-230); encoder expects [-1, 1] images
-            region, cnn_code = models.image_encoder.apply(encoder_params["image"], fakes_g[-1])
-            w_loss, s_loss = losses.generator_damsm_loss(
-                region, cnn_code, words_embs, sent_emb, batch.cap_lens, batch.class_ids, cfg.damsm
-            )
+            if do_damsm:
+                region, cnn_code = models.image_encoder.apply(encoder_params["image"], fakes_g[-1])
+                w_loss, s_loss = losses.generator_damsm_loss(
+                    region, cnn_code, words_embs, sent_emb, batch.cap_lens, batch.class_ids, cfg.damsm
+                )
+            else:
+                w_loss = s_loss = jnp.float32(0.0)
             kl = losses.kl_loss(mu_g, logvar_g)
             total = total + w_loss + s_loss + kl
             return total, (w_loss, s_loss, kl)
 
-        (g_loss, (w_loss, s_loss, kl)), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(state.g_params)
-        g_updates, new_g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
-        new_g_params = optax.apply_updates(state.g_params, g_updates)
+        if do_g:
+            (g_loss, (w_loss, s_loss, kl)), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(state.g_params)
+            g_updates, new_g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
+            new_g_params = optax.apply_updates(state.g_params, g_updates)
+        else:
+            g_loss = w_loss = s_loss = kl = jnp.float32(0.0)
+            new_g_params, new_g_opt = state.g_params, state.g_opt
 
         # ---- EMA (trainer.py:387-388) ----
         decay = cfg.ema_decay
-        new_ema = jax.tree.map(lambda e, p: decay * e + (1.0 - decay) * p, state.g_ema, new_g_params)
+        if do_ema:
+            new_ema = jax.tree.map(lambda e, p: decay * e + (1.0 - decay) * p, state.g_ema, new_g_params)
+        else:
+            new_ema = state.g_ema
 
         metrics = {
             "g_loss": g_loss,

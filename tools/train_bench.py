@@ -42,9 +42,9 @@ def _mark(msg: str) -> None:
     print(f"[train_bench +{time.perf_counter() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
-def run(*, steps: int = 8, batch: int = 64) -> dict:
-    """Build, compile, and time the fused train step on the current backend.
-    Importable by bench.py (train-step section) — keep the single copy here."""
+def setup(*, batch: int = 64):
+    """Eval-dims config + jitted init + one uploaded synthetic batch — the
+    shared harness for this tool and tools/train_ablate.py (single copy)."""
     on_tpu = jax.default_backend() not in ("cpu",)
 
     from tise_tpu.models.attngan_pp import trainer as T
@@ -73,9 +73,16 @@ def run(*, steps: int = 8, batch: int = 64) -> dict:
     _mark(f"init done in {time.perf_counter() - t0:.1f}s")
 
     batch_np = T.synthetic_batch(cfg, np.random.RandomState(0), cfg.batch_size)
-    batch = jax.tree.map(jax.device_put, batch_np)
-    int(jax.jit(lambda b: jnp.sum(b.captions))(batch))  # materialize upload
+    batch_dev = jax.tree.map(jax.device_put, batch_np)
+    int(jax.jit(lambda b: jnp.sum(b.captions))(batch_dev))  # materialize upload
     _mark("batch uploaded")
+    return T, cfg, models, state, enc, batch_dev
+
+
+def run(*, steps: int = 8, batch: int = 64) -> dict:
+    """Build, compile, and time the fused train step on the current backend.
+    Importable by bench.py (train-step section) — keep the single copy here."""
+    T, cfg, models, state, enc, batch = setup(batch=batch)
 
     step_fn = jax.jit(T.make_train_step(cfg, models), donate_argnums=(0,))
     _mark("compiling train step (first call)")
