@@ -258,6 +258,33 @@ class TestOrchestrator:
         benchmark.main(_argv(world, only="fid,is_star", skip="is_star"))
         assert [m for m, _ in world["calls"]] == ["fid"]
 
+    def test_resume(self, world):
+        """--resume parses existing stage results instead of re-running:
+        after a full run, a resumed run with one deleted result and one
+        corrupted result re-runs exactly those two stages, keeps every
+        value, and merges the prior run's wall-clocks into timings.json
+        (killed-30k-track recovery; crop resumes via its crop.done
+        sentinel, never by trusting a partial crops dir)."""
+        first = benchmark.main(_argv(world))
+        out = os.path.join(world["out"], "MyModel")
+        assert os.path.exists(os.path.join(out, "crop.done"))
+        world["calls"].clear()
+        os.remove(os.path.join(out, "ca.txt"))  # lost result -> re-run
+        with open(os.path.join(out, "fid.txt"), "w") as f:
+            f.write("garbage\n")  # unparseable result -> re-run
+        values = benchmark.main(_argv(world) + ["--resume"])
+        assert sorted(m for m, _ in world["calls"]) == ["ca", "fid"]
+        assert values == first
+        with open(os.path.join(out, "timings.json")) as f:
+            assert sorted(json.load(f)) == sorted(
+                ["fid", "is_star", "rp", "soa", "pa", "ca", "crop", "o_is", "o_fid"]
+            )
+        # a partial crops dir without the sentinel must NOT satisfy resume
+        world["calls"].clear()
+        os.remove(os.path.join(out, "crop.done"))
+        benchmark.main(_argv(world) + ["--resume", "--only", "crop"])
+        assert [m for m, _ in world["calls"]] == ["crop"]
+
     def test_precision_flag_propagates(self, world):
         benchmark.main(_argv(world, only="fid", precision="fast"))
         _, argv = world["calls"][0]

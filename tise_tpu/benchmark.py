@@ -83,6 +83,12 @@ class Stage:
     run: Callable[[], None]
     parse: Callable[[], Dict[str, float]]
     after: Sequence[str] = ()  # stages that must have completed first
+    #: path the stage produces (result txt / crops dir); with ``--resume``,
+    #: a stage whose result already exists is parsed without re-running —
+    #: a killed multi-hour 30k track must not repay completed stages.
+    #: Complements SOA's internal per-label detection resume (soa.py:74,
+    #: mirroring the reference convention SOA.py:77-79).
+    result: str = ""
 
 
 @dataclass
@@ -91,7 +97,7 @@ class Plan:
     #: per-stage wall-clock of the completed stages, filled by execute()
     timings: Dict[str, float] = field(default_factory=dict)
 
-    def execute(self) -> Dict[str, float]:
+    def execute(self, resume: bool = False) -> Dict[str, float]:
         import time
 
         values: Dict[str, float] = {}
@@ -106,6 +112,14 @@ class Plan:
                 )
                 print(f"[benchmark] SKIP {st.name} ({why})")
                 continue
+            if resume and st.result and os.path.exists(st.result):
+                try:
+                    values.update(st.parse())
+                    done.add(st.name)
+                    print(f"[benchmark] RESUME {st.name} (parsed existing {st.result})")
+                    continue
+                except Exception as e:  # noqa: BLE001 — stale/partial result: re-run it
+                    print(f"[benchmark] RESUME {st.name} unparseable ({e}); re-running")
             print(f"[benchmark] RUN  {st.name}")
             t0 = time.perf_counter()
             try:
@@ -150,6 +164,7 @@ def _coco_plan(args, out: str) -> Plan:
                  "--saved_file", txt("fid"), "--weights", w("inception")] + prec + bs
             ),
             lambda: {"FID": result_io.read_fid_result(txt("fid"))},
+            result=txt("fid"),
         )
     )
     plan.stages.append(
@@ -161,6 +176,7 @@ def _coco_plan(args, out: str) -> Plan:
                  "--saved_file", txt("is_star"), "--weights", w("inception_2015")] + prec + bs_u
             ),
             lambda: {"IS*": result_io.read_is_coco_result(txt("is_star"))[0]},
+            result=txt("is_star"),
         )
     )
     plan.stages.append(
@@ -173,6 +189,7 @@ def _coco_plan(args, out: str) -> Plan:
                  "--bpe_path", w("clip_bpe")] + prec + bs_u
             ),
             lambda: {"RP": result_io.read_rp_coco_result(txt("rp"))[0] * 100},
+            result=txt("rp"),
         )
     )
     plan.stages.append(
@@ -188,6 +205,7 @@ def _coco_plan(args, out: str) -> Plan:
                 zip(("SOA-C", "SOA-I"),
                     [v * 100 for v in result_io.read_soa_result(txt("soa"))[:2]])
             ),
+            result=txt("soa"),
         )
     )
     plan.stages.append(
@@ -200,6 +218,7 @@ def _coco_plan(args, out: str) -> Plan:
                  "--bpe_path", w("clip_bpe")] + prec + bs_u
             ),
             lambda: {"PA": result_io.read_pa_result(txt("pa")) * 100},
+            result=txt("pa"),
         )
     )
     plan.stages.append(
@@ -211,18 +230,30 @@ def _coco_plan(args, out: str) -> Plan:
                  "--result_file", txt("ca"), "--weights", w("counter")] + prec + bs_u
             ),
             lambda: {"CA": result_io.read_ca_result(txt("ca"))},
+            result=txt("ca"),
         )
     )
+
+    def run_crop() -> None:
+        crop_objects.main(
+            ["--source_image_dir", args.images,
+             "--saved_cropped_object_dir", crops_dir,
+             "--weights", w("detector_crop")] + prec + det
+        )
+        # completion sentinel: a killed run leaves a partial crops dir, which
+        # --resume must NOT trust (unlike the txt results, the dir carries no
+        # done/undone signal of its own)
+        with open(crop_done, "w") as f:
+            f.write("ok\n")
+
+    crop_done = os.path.join(out, "crop.done")
     plan.stages.append(
         Stage(
             "crop",
             [args.images, w("detector_crop")],
-            lambda: crop_objects.main(
-                ["--source_image_dir", args.images,
-                 "--saved_cropped_object_dir", crops_dir,
-                 "--weights", w("detector_crop")] + prec + det
-            ),
+            run_crop,
             lambda: {},
+            result=crop_done,
         )
     )
     plan.stages.append(
@@ -235,6 +266,7 @@ def _coco_plan(args, out: str) -> Plan:
             ),
             lambda: {"O-IS": result_io.read_o_is_result(txt("o_is"))[0]},
             after=("crop",),
+            result=txt("o_is"),
         )
     )
     plan.stages.append(
@@ -247,6 +279,7 @@ def _coco_plan(args, out: str) -> Plan:
             ),
             lambda: {"O-FID": result_io.read_fid_result(txt("o_fid"))},
             after=("crop",),
+            result=txt("o_fid"),
         )
     )
     return plan
@@ -275,6 +308,7 @@ def _cub_plan(args, out: str) -> Plan:
                  "--saved_file", txt("fid"), "--weights", w("inception")] + prec + bs
             ),
             lambda: {"FID": result_io.read_fid_result(txt("fid"))},
+            result=txt("fid"),
         )
     )
     plan.stages.append(
@@ -286,6 +320,7 @@ def _cub_plan(args, out: str) -> Plan:
                  "--saved_file", txt("is_star"), "--weights", w("inception_cub")] + prec + bs_u
             ),
             lambda: {"IS*": result_io.read_is_result(txt("is_star"))[0]},
+            result=txt("is_star"),
         )
     )
     plan.stages.append(
@@ -299,6 +334,7 @@ def _cub_plan(args, out: str) -> Plan:
                  "--text_encoder", w("damsm_text"), "--image_encoder", w("damsm_image")] + prec + bs_u
             ),
             lambda: {"RP": result_io.read_rp_cub_result(txt("rp"))[0] * 100},
+            result=txt("rp"),
         )
     )
     return plan
@@ -343,6 +379,10 @@ def main(argv: Optional[Sequence[str]] = None) -> Dict[str, float]:
                         "the fast sweep preset")
     p.add_argument("--only", type=str, default="", help="comma-separated stage names to run")
     p.add_argument("--skip", type=str, default="", help="comma-separated stage names to skip")
+    p.add_argument("--resume", action="store_true",
+                   help="parse stages whose result file already exists under "
+                        "--output_root instead of re-running them (unparseable "
+                        "results re-run; crop uses a crop.done sentinel)")
     args = p.parse_args(argv)
 
     out = os.path.join(args.output_root, args.method_name)
@@ -355,12 +395,17 @@ def main(argv: Optional[Sequence[str]] = None) -> Dict[str, float]:
         drop = {s.strip() for s in args.skip.split(",")}
         plan.stages = [s for s in plan.stages if s.name not in drop]
 
-    values = plan.execute()
+    values = plan.execute(resume=args.resume)
     print(f"[benchmark] values: {json.dumps(values)}")
     print(f"[benchmark] stage wall-clock (s): {json.dumps(plan.timings)}")
     with open(os.path.join(out, "metrics.json"), "w") as f:
         json.dump(values, f, indent=1)
-    with open(os.path.join(out, "timings.json"), "w") as f:
+    timings_path = os.path.join(out, "timings.json")
+    if args.resume and os.path.exists(timings_path):
+        # keep the prior run's wall-clocks for the stages resumed this run
+        with open(timings_path) as f:
+            plan.timings = {**json.load(f), **plan.timings}
+    with open(timings_path, "w") as f:
         json.dump(plan.timings, f, indent=1)
 
     if args.track == "coco":

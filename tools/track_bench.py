@@ -273,6 +273,9 @@ def main() -> None:
     p.add_argument("--batch_size", type=int, default=256)
     p.add_argument("--only", type=str, default="")
     p.add_argument("--skip", type=str, default="")
+    p.add_argument("--resume", action="store_true",
+                   help="pass through to the orchestrator: parse existing stage "
+                        "results instead of re-running (killed-run recovery)")
     p.add_argument("--smoke", action="store_true", help="tiny CPU-size layout + CPU run")
     p.add_argument("--build-only", action="store_true", help="(internal) build the layout on CPU and exit")
     args = p.parse_args()
@@ -318,6 +321,8 @@ def main() -> None:
         argv += ["--only", args.only]
     if args.skip:
         argv += ["--skip", args.skip]
+    if args.resume:
+        argv += ["--resume"]
     _mark("track: running orchestrator")
     t0 = time.perf_counter()
     values = benchmark.main(argv)
