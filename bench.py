@@ -25,6 +25,7 @@ import json
 import sys
 import time
 
+import tise_tpu  # noqa: F401  (sets AXON_JOURNAL_COMPACT=1 before backend init)
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -442,6 +443,9 @@ def main() -> None:
     for tool, kwargs in (
         # fused GAN train step at eval dims (VERDICT r4 #1; tools/train_bench.py)
         ("train_bench", {"steps": 8 if on_tpu else 2}),
+        # ...and the bf16-frozen-encoder training knob (--encoder_precision fast)
+        ("train_bench", {"steps": 8 if on_tpu else 2, "encoder_precision": "fast",
+                         "key_prefix": "train_step_fast"}),
         # RP bank+rank phases (VERDICT r4 #2; tools/rp_bench.py) — skip the
         # per-item comparison line here (it re-measures the r2 design)
         ("rp_bench", {"items": 5120 if on_tpu else 8, "batch": 256 if on_tpu else 4, "direct_batches": 0}),

@@ -182,6 +182,163 @@ class TestTrainStep:
         )
         np.testing.assert_allclose(new_e, 0.999 * old_p + 0.001 * new_p, rtol=1e-4, atol=1e-6)
 
+    def test_single_forward_vjp_matches_double_forward(self, tiny_cfg):
+        """The production step runs ONE G forward (jax.vjp residuals serve
+        both the D updates' detached fakes and the post-D-update G backward).
+        It must match a naive transcription of the reference ordering — a
+        second identical G forward inside the G loss closure
+        (AttnGAN++/trainer.py:321-379) — to float tolerance: same fakes (BN
+        train mode + same rng => identical forwards), same chain rule."""
+        import optax
+
+        from tise_tpu.models.attngan_pp import losses as L
+        from tise_tpu.models.attngan_pp.trainer import SCALES
+
+        models = build_models(tiny_cfg)
+        state, enc = init_state(tiny_cfg, models, jax.random.PRNGKey(0))
+        batch = synthetic_batch(tiny_cfg, np.random.RandomState(0), tiny_cfg.batch_size)
+        rng = jax.random.PRNGKey(1)
+
+        new_state, metrics = jax.jit(make_train_step(tiny_cfg, models))(state, batch, enc, rng)
+
+        def reference_step(state, batch, encoder_params, rng):
+            cfg = tiny_cfg
+            scales = SCALES[: cfg.gan.branch_num]
+            g_tx = optax.adam(cfg.g_lr, b1=cfg.beta1, b2=cfg.beta2)
+            d_tx = optax.adam(cfg.d_lr, b1=cfg.beta1, b2=cfg.beta2)
+            rng_ca, rng_z = jax.random.split(jax.random.fold_in(rng, state.step))
+            words_embs, sent_emb = models.text_encoder.apply(
+                encoder_params["text"], batch.captions, batch.cap_lens
+            )
+            words_embs = jax.lax.stop_gradient(words_embs)
+            sent_emb = jax.lax.stop_gradient(sent_emb)
+            mask = batch.captions == 0
+            z = jax.random.normal(rng_z, (batch.captions.shape[0], cfg.gan.z_dim))
+
+            def g_apply(g_params):
+                return models.gnet.apply(
+                    {"params": g_params, "batch_stats": state.g_batch_stats},
+                    z, sent_emb, words_embs, mask, rng_ca, train=True,
+                    mutable=["batch_stats"],
+                )
+
+            (fakes, _a, _mu, _lv), _ = g_apply(state.g_params)
+            fakes_sg = [jax.lax.stop_gradient(f) for f in fakes]
+            b = batch.captions.shape[0]
+            new_d_params, new_d_spectral = {}, {}
+
+            def d_loss_fn(params, dnet, spectral, real, fake):
+                var = {"params": params, "spectral": spectral}
+                real_h, mut = dnet.apply(var, real, method=dnet.features, mutable=["spectral"])
+                fake_h, _ = dnet.apply(var, fake, method=dnet.features, mutable=["spectral"])
+                rc = dnet.apply(var, real_h, sent_emb, method=dnet.cond_logits, mutable=["spectral"])[0]
+                fc = dnet.apply(var, fake_h, sent_emb, method=dnet.cond_logits, mutable=["spectral"])[0]
+                wc = dnet.apply(var, real_h[: b - 1], sent_emb[1:], method=dnet.cond_logits, mutable=["spectral"])[0]
+                ru = dnet.apply(var, real_h, method=dnet.uncond_logits, mutable=["spectral"])[0]
+                fu = dnet.apply(var, fake_h, method=dnet.uncond_logits, mutable=["spectral"])[0]
+                parts = L.discriminator_loss(rc, ru, fc, fu, wc)
+                return parts.total, mut["spectral"]
+
+            for i, s in enumerate(scales):
+                key = str(s)
+                (_, new_spec), grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+                    state.d_params[key], models.dnets[s], state.d_spectral[key],
+                    batch.images[i], fakes_sg[i],
+                )
+                updates, _ = d_tx.update(grads, state.d_opt[key], state.d_params[key])
+                new_d_params[key] = optax.apply_updates(state.d_params[key], updates)
+                new_d_spectral[key] = new_spec
+
+            def g_loss_fn(g_params):
+                (fakes_g, _a2, mu_g, logvar_g), _ = g_apply(g_params)  # SECOND forward
+                total = 0.0
+                for i, s in enumerate(scales):
+                    key = str(s)
+                    dnet = models.dnets[s]
+                    var = {"params": new_d_params[key], "spectral": new_d_spectral[key]}
+                    h, _ = dnet.apply(var, fakes_g[i], method=dnet.features, mutable=["spectral"])
+                    cond = dnet.apply(var, h, sent_emb, method=dnet.cond_logits, mutable=["spectral"])[0]
+                    uncond = dnet.apply(var, h, method=dnet.uncond_logits, mutable=["spectral"])[0]
+                    total = total + L.generator_adv_loss(cond, uncond)
+                region, cnn_code = models.image_encoder.apply(encoder_params["image"], fakes_g[-1])
+                w_loss, s_loss = L.generator_damsm_loss(
+                    region, cnn_code, words_embs, sent_emb, batch.cap_lens, batch.class_ids, cfg.damsm
+                )
+                return total + w_loss + s_loss + L.kl_loss(mu_g, logvar_g)
+
+            g_loss, g_grads = jax.value_and_grad(g_loss_fn)(state.g_params)
+            g_updates, _ = g_tx.update(g_grads, state.g_opt, state.g_params)
+            return g_loss, optax.apply_updates(state.g_params, g_updates), new_d_params
+
+        ref_g_loss, ref_g_params, ref_d_params = jax.jit(reference_step)(state, batch, enc, rng)
+        np.testing.assert_allclose(float(metrics["g_loss"]), float(ref_g_loss), rtol=2e-5)
+        jax.tree.map(
+            lambda a, b_: np.testing.assert_allclose(a, b_, rtol=1e-4, atol=2e-6),
+            new_state.g_params, ref_g_params,
+        )
+        jax.tree.map(
+            lambda a, b_: np.testing.assert_allclose(a, b_, rtol=1e-4, atol=2e-6),
+            new_state.d_params, ref_d_params,
+        )
+
+    def test_fast_encoder_gradient_drift(self, tiny_cfg):
+        """encoder_precision='fast' (bf16 frozen DAMSM image encoder in the G
+        loss) drift bounds.  What the knob changes is exactly ONE thing: the
+        gradient the frozen encoder pushes back into G's finest fakes — so
+        (a) that interface gradient must stay aligned with the f32 one
+        (cos > 0.9; measured 0.956 even at the adversarial worst case of a
+        random-init encoder whose near-collapsed features maximise relative
+        bf16 noise), and (b) at the step level the D side is bit-identical
+        and the G loss tracks.  The post-Adam update-vector cosine is NOT
+        asserted tightly: a first Adam step is ~lr*sign(grad), so bf16 sign
+        flips on near-zero-gradient coordinates (which carry no training
+        signal) dominate it — measured 0.879 here while the gradient itself
+        aligns at 0.956."""
+        import dataclasses
+
+        from tise_tpu.models.attngan_pp import losses as L
+
+        fast_cfg = dataclasses.replace(tiny_cfg, encoder_precision="fast")
+        models = build_models(tiny_cfg)
+        models_fast = build_models(fast_cfg)
+        # same init: the encoder's PARAMS are f32 in both (dtype is compute)
+        state, enc = init_state(tiny_cfg, models, jax.random.PRNGKey(0))
+        batch = synthetic_batch(tiny_cfg, np.random.RandomState(0), tiny_cfg.batch_size)
+        args = (state, batch, enc, jax.random.PRNGKey(1))
+        hi, m_hi = jax.jit(make_train_step(tiny_cfg, models))(*args)
+        fa, m_fa = jax.jit(make_train_step(fast_cfg, models_fast))(*args)
+
+        eq = lambda a, b: jax.tree.all(jax.tree.map(lambda x, y: bool(jnp.array_equal(x, y)), a, b))
+        assert eq(fa.d_params, hi.d_params)  # D path untouched by the knob
+        assert np.isfinite(float(m_fa["g_loss"]))
+        assert abs(float(m_fa["g_loss"]) - float(m_hi["g_loss"])) / abs(float(m_hi["g_loss"])) < 0.05
+        assert jax.tree.all(jax.tree.map(lambda x: bool(jnp.all(jnp.isfinite(x))), fa.g_params))
+
+        # (a) interface gradient: d(DAMSM term)/d(fakes_256) under each dtype
+        rng = np.random.RandomState(1)
+        nef = tiny_cfg.gan.embedding_dim
+        img = jnp.asarray(rng.uniform(-1, 1, (4, 256, 256, 3)).astype(np.float32))
+        words = jnp.asarray(rng.randn(4, nef, tiny_cfg.gan.words_num).astype(np.float32))
+        sent = jnp.asarray(rng.randn(4, nef).astype(np.float32))
+        lens = jnp.asarray([6, 5, 4, 6], np.int32)
+        cls = jnp.asarray([0, 1, 2, 3], np.int32)
+
+        def damsm_term(encoder):
+            def f(x):
+                region, cnn = encoder.apply(enc["image"], x)
+                w, s = L.generator_damsm_loss(
+                    region.astype(jnp.float32), cnn.astype(jnp.float32),
+                    words, sent, lens, cls, tiny_cfg.damsm,
+                )
+                return w + s
+
+            return f
+
+        g_hi = np.asarray(jax.jit(jax.grad(damsm_term(models.image_encoder)))(img)).ravel()
+        g_fa = np.asarray(jax.jit(jax.grad(damsm_term(models_fast.image_encoder)))(img)).ravel()
+        cos = float(g_hi @ g_fa / (np.linalg.norm(g_hi) * np.linalg.norm(g_fa) + 1e-12))
+        assert cos > 0.9, cos
+
     def test_ablate_sections(self, tiny_cfg):
         """The profiling hook (tools/train_ablate.py) must skip exactly its
         section: ablating "ema" reproduces the full step everywhere except

@@ -44,6 +44,13 @@ class TrainConfig:
     snapshot_interval: int = 5
     ntoken: int = 5450  # vocab size (dataset-dependent)
     damsm: losses.DamsmWeights = field(default_factory=losses.DamsmWeights)
+    #: compute dtype of the FROZEN DAMSM image encoder inside the G loss:
+    #: "fast" runs its fwd+bwd in bf16 (the loss grid and everything
+    #: trainable stays f32 — only the gradient pulled back into G's fakes
+    #: carries the reduced precision; drift bounded in
+    #: tests/test_attngan.py::test_fast_encoder_gradient_drift).  The
+    #: default "highest" matches the reference's f32 training exactly.
+    encoder_precision: str = "highest"
 
 
 SCALES = (64, 128, 256)
@@ -74,7 +81,8 @@ def build_models(cfg: TrainConfig, dtype=jnp.float32) -> Models:
         s: DNet(ndf=gan.df_dim, nef=gan.embedding_dim, scale=s, dtype=dtype) for s in SCALES[: gan.branch_num]
     }
     text_encoder = damsm.RNNEncoder(ntoken=cfg.ntoken, nhidden=gan.embedding_dim // 2, dtype=dtype)
-    image_encoder = damsm.CNNEncoder(nef=gan.embedding_dim, dtype=dtype)
+    enc_dtype = jnp.bfloat16 if cfg.encoder_precision == "fast" else dtype
+    image_encoder = damsm.CNNEncoder(nef=gan.embedding_dim, dtype=enc_dtype)
     return Models(gnet, dnets, text_encoder, image_encoder)
 
 
@@ -167,19 +175,27 @@ def make_train_step(cfg: TrainConfig, models: Models, ablate: frozenset = frozen
         b = batch.captions.shape[0]
         z = jax.random.normal(rng_z, (b, cfg.gan.z_dim))
 
-        # ---- G forward (BN in train mode; stats updated once, as in torch
-        # where the single G forward serves both D and G losses) ----
-        (fakes, _attn, mu, logvar), g_mut = models.gnet.apply(
-            {"params": state.g_params, "batch_stats": state.g_batch_stats},
-            z,
-            sent_emb,
-            words_embs,
-            mask,
-            rng_ca,
-            train=True,
-            mutable=["batch_stats"],
-        )
-        new_g_stats = g_mut["batch_stats"]
+        # ---- G forward, ONCE, via vjp (BN in train mode; stats updated
+        # once, as in torch where the single netG forward serves both the D
+        # and G losses, trainer.py:321-331).  A grad-of-closure G update
+        # would trace a SECOND identical forward that XLA does not reliably
+        # CSE with this one; vjp reuses these residuals for the G backward
+        # after the D updates (the torch ordering: D steps consume detached
+        # fakes, the retained graph backs the G step). ----
+        def g_fwd(g_params):
+            (fakes_f, _attn, mu_f, logvar_f), mut = models.gnet.apply(
+                {"params": g_params, "batch_stats": state.g_batch_stats},
+                z,
+                sent_emb,
+                words_embs,
+                mask,
+                rng_ca,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            return (tuple(fakes_f), mu_f, logvar_f), mut["batch_stats"]
+
+        (fakes, mu, logvar), g_vjp, new_g_stats = jax.vjp(g_fwd, state.g_params, has_aux=True)
 
         # ---- D updates (fakes detached: losses.py:138) ----
         fakes_sg = [jax.lax.stop_gradient(f) for f in fakes]
@@ -216,42 +232,39 @@ def make_train_step(cfg: TrainConfig, models: Models, ablate: frozenset = frozen
         else:
             new_d_params, new_d_spectral, new_d_opt = state.d_params, state.d_spectral, state.d_opt
 
-        # ---- G update (uses the UPDATED discriminators) ----
-        def g_loss_fn(g_params):
-            (fakes_g, _a, mu_g, logvar_g), _ = models.gnet.apply(
-                {"params": g_params, "batch_stats": state.g_batch_stats},
-                z,
-                sent_emb,
-                words_embs,
-                mask,
-                rng_ca,
-                train=True,
-                mutable=["batch_stats"],
-            )
+        # ---- G update (uses the UPDATED discriminators): differentiate the
+        # loss head w.r.t. the G OUTPUTS, then pull the cotangents back
+        # through the saved forward (g_vjp) — one G forward per step ----
+        def head_loss(fakes_h, mu_h, logvar_h):
             total = 0.0
             for i, s in enumerate(scales):
                 key = str(s)
                 dnet = models.dnets[s]
                 var = {"params": new_d_params[key], "spectral": new_d_spectral[key]}
-                h, _ = dnet.apply(var, fakes_g[i], method=dnet.features, mutable=["spectral"])
+                h, _ = dnet.apply(var, fakes_h[i], method=dnet.features, mutable=["spectral"])
                 cond = dnet.apply(var, h, sent_emb, method=dnet.cond_logits, mutable=["spectral"])[0]
                 uncond = dnet.apply(var, h, method=dnet.uncond_logits, mutable=["spectral"])[0]
                 total = total + losses.generator_adv_loss(cond, uncond)
             # DAMSM on the finest scale via the frozen image encoder
             # (losses.py:218-230); encoder expects [-1, 1] images
             if do_damsm:
-                region, cnn_code = models.image_encoder.apply(encoder_params["image"], fakes_g[-1])
+                region, cnn_code = models.image_encoder.apply(encoder_params["image"], fakes_h[-1])
+                # loss math always f32 (no-op cast unless encoder_precision=fast)
                 w_loss, s_loss = losses.generator_damsm_loss(
-                    region, cnn_code, words_embs, sent_emb, batch.cap_lens, batch.class_ids, cfg.damsm
+                    region.astype(jnp.float32), cnn_code.astype(jnp.float32),
+                    words_embs, sent_emb, batch.cap_lens, batch.class_ids, cfg.damsm
                 )
             else:
                 w_loss = s_loss = jnp.float32(0.0)
-            kl = losses.kl_loss(mu_g, logvar_g)
+            kl = losses.kl_loss(mu_h, logvar_h)
             total = total + w_loss + s_loss + kl
             return total, (w_loss, s_loss, kl)
 
         if do_g:
-            (g_loss, (w_loss, s_loss, kl)), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(state.g_params)
+            (g_loss, (w_loss, s_loss, kl)), head_grads = jax.value_and_grad(
+                head_loss, argnums=(0, 1, 2), has_aux=True
+            )(fakes, mu, logvar)
+            (g_grads,) = g_vjp(head_grads)
             g_updates, new_g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
             new_g_params = optax.apply_updates(state.g_params, g_updates)
         else:

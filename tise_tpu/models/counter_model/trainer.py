@@ -73,7 +73,12 @@ def build_models(cfg: TrainConfig, dtype=jnp.float32) -> CounterModels:
         gnet=CounterGNet(cfg=gan, dtype=dtype),
         dnet=MSGDNet(ndf=gan.df_dim, nef=gan.embedding_dim, dtype=dtype),
         text_encoder=damsm.RNNEncoder(ntoken=cfg.ntoken, nhidden=gan.embedding_dim // 2, dtype=dtype),
-        image_encoder=damsm.CNNEncoder(nef=gan.embedding_dim, dtype=dtype),
+        # frozen-encoder precision knob shared with the AttnGAN++ trainer
+        # (TrainConfig.encoder_precision docstring)
+        image_encoder=damsm.CNNEncoder(
+            nef=gan.embedding_dim,
+            dtype=jnp.bfloat16 if cfg.encoder_precision == "fast" else dtype,
+        ),
     )
 
 
@@ -129,10 +134,17 @@ def make_train_step(cfg: TrainConfig, models: CounterModels):
         z = jax.random.normal(rng_z, (b, cfg.gan.z_dim))
         reals = multiscale_reals(batch.images[-1])
 
-        (fakes, _a, mu, logvar), g_mut = models.gnet.apply(
-            {"params": state.g_params, "batch_stats": state.g_batch_stats},
-            z, sent_emb, words_embs, mask, rng_ca, train=True, mutable=["batch_stats"],
-        )
+        # single G forward via vjp — residuals serve both the D update's
+        # detached fakes and the post-D-update G backward (same restructure
+        # as the AttnGAN++ step; see attngan_pp/trainer.py train_step)
+        def g_fwd(g_params):
+            (fakes_f, _a, mu_f, logvar_f), mut = models.gnet.apply(
+                {"params": g_params, "batch_stats": state.g_batch_stats},
+                z, sent_emb, words_embs, mask, rng_ca, train=True, mutable=["batch_stats"],
+            )
+            return (tuple(fakes_f), mu_f, logvar_f), mut["batch_stats"]
+
+        (fakes, mu, logvar), g_vjp, new_g_stats = jax.vjp(g_fwd, state.g_params, has_aux=True)
         fakes_sg = [jax.lax.stop_gradient(f) for f in fakes]
 
         def d_loss_fn(params):
@@ -151,24 +163,24 @@ def make_train_step(cfg: TrainConfig, models: CounterModels):
         d_updates, new_d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
         new_d_params = optax.apply_updates(state.d_params, d_updates)
 
-        def g_loss_fn(g_params):
-            (fakes_g, _aa, mu_g, logvar_g), _ = models.gnet.apply(
-                {"params": g_params, "batch_stats": state.g_batch_stats},
-                z, sent_emb, words_embs, mask, rng_ca, train=True, mutable=["batch_stats"],
-            )
+        def head_loss(fakes_h, mu_h, logvar_h):
             var = {"params": new_d_params, "spectral": new_spec}
-            h, _ = dnet.apply(var, fakes_g, method=dnet.features, mutable=["spectral"])
+            h, _ = dnet.apply(var, list(fakes_h), method=dnet.features, mutable=["spectral"])
             cond = dnet.apply(var, h, sent_emb, method=dnet.cond_logits, mutable=["spectral"])[0]
             uncond = dnet.apply(var, h, method=dnet.uncond_logits, mutable=["spectral"])[0]
             total = losses.generator_adv_loss(cond, uncond)
-            region, cnn_code = models.image_encoder.apply(encoder_params["image"], fakes_g[-1])
+            region, cnn_code = models.image_encoder.apply(encoder_params["image"], fakes_h[-1])
             w_loss, s_loss = losses.generator_damsm_loss(
-                region, cnn_code, words_embs, sent_emb, batch.cap_lens, batch.class_ids, cfg.damsm
+                region.astype(jnp.float32), cnn_code.astype(jnp.float32),
+                words_embs, sent_emb, batch.cap_lens, batch.class_ids, cfg.damsm
             )
-            kl = losses.kl_loss(mu_g, logvar_g)
+            kl = losses.kl_loss(mu_h, logvar_h)
             return total + w_loss + s_loss + kl, (w_loss, s_loss, kl)
 
-        (g_loss, (w_loss, s_loss, kl)), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(state.g_params)
+        (g_loss, (w_loss, s_loss, kl)), head_grads = jax.value_and_grad(
+            head_loss, argnums=(0, 1, 2), has_aux=True
+        )(fakes, mu, logvar)
+        (g_grads,) = g_vjp(head_grads)
         g_updates, new_g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
         new_g_params = optax.apply_updates(state.g_params, g_updates)
         decay = cfg.ema_decay
@@ -179,7 +191,7 @@ def make_train_step(cfg: TrainConfig, models: CounterModels):
             state.replace(
                 step=state.step + 1,
                 g_params=new_g_params,
-                g_batch_stats=g_mut["batch_stats"],
+                g_batch_stats=new_g_stats,
                 g_opt=new_g_opt,
                 g_ema=new_ema,
                 d_params=new_d_params,

@@ -48,6 +48,10 @@ def get_parameters() -> argparse.ArgumentParser:
     p.add_argument("--snapshot_interval", type=int, default=5)
     p.add_argument("--d_lr", type=float, default=2e-4)
     p.add_argument("--g_lr", type=float, default=2e-4)
+    p.add_argument("--encoder_precision", choices=("highest", "fast"), default="highest",
+                   help="frozen DAMSM image-encoder compute dtype in the G loss: "
+                        "'fast' = bf16 fwd+bwd with f32 loss math (TPU training "
+                        "accelerator; gradient drift bounded in tests)")
     p.add_argument("--smooth_gamma_1", type=float, default=5.0)
     p.add_argument("--smooth_gamma_2", type=float, default=5.0)
     p.add_argument("--smooth_gamma_3", type=float, default=10.0)
@@ -108,6 +112,7 @@ def main(argv=None) -> None:
         snapshot_interval=args.snapshot_interval,
         ntoken=dataset.n_words,
         damsm=weights,
+        encoder_precision=args.encoder_precision,
     )
 
     def load(path, converter):

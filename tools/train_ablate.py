@@ -36,6 +36,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+import jax.numpy as jnp
 
 _T0 = time.perf_counter()
 
@@ -55,17 +56,25 @@ VARIANTS = (
 
 
 def run(*, steps: int = 8, batch: int = 64) -> dict:
+    import numpy as np
+
     from train_bench import setup  # shared harness (tools/train_bench.py)
 
     T, cfg, models, state0, enc, batch_dev = setup(batch=batch)
+    # donated steps (matching production + tools/train_bench.py: without
+    # donation the program double-buffers the whole state and OOMs a 16 GB
+    # chip when anything else is resident); each variant re-uploads a fresh
+    # copy from this host snapshot since donation consumes its input
+    host_state = jax.tree.map(np.asarray, state0)
+    del state0
 
     times = {}
     for name, ablate in VARIANTS:
-        # no donation: state0 is reused across variants
-        step_fn = jax.jit(T.make_train_step(cfg, models, ablate=ablate))
+        step_fn = jax.jit(T.make_train_step(cfg, models, ablate=ablate), donate_argnums=(0,))
+        state = jax.tree.map(jnp.asarray, host_state)
         _mark(f"compile {name} (ablate={sorted(ablate)})")
         t0 = time.perf_counter()
-        state, metrics = step_fn(state0, batch_dev, enc, jax.random.PRNGKey(1))
+        state, metrics = step_fn(state, batch_dev, enc, jax.random.PRNGKey(1))
         float(metrics["g_loss"])
         _mark(f"  first call {time.perf_counter() - t0:.1f}s")
         best = None

@@ -42,7 +42,7 @@ def _mark(msg: str) -> None:
     print(f"[train_bench +{time.perf_counter() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
-def setup(*, batch: int = 64):
+def setup(*, batch: int = 64, encoder_precision: str = "highest"):
     """Eval-dims config + jitted init + one uploaded synthetic batch — the
     shared harness for this tool and tools/train_ablate.py (single copy)."""
     on_tpu = jax.default_backend() not in ("cpu",)
@@ -52,10 +52,12 @@ def setup(*, batch: int = 64):
 
     if on_tpu:
         gan = GanConfig(gf_dim=64, df_dim=32, r_num=3, embedding_dim=256, words_num=20)
-        cfg = T.TrainConfig(gan=gan, batch_size=batch, ntoken=27297)
+        cfg = T.TrainConfig(gan=gan, batch_size=batch, ntoken=27297,
+                            encoder_precision=encoder_precision)
     else:
         gan = GanConfig(gf_dim=8, df_dim=8, z_dim=16, condition_dim=16, embedding_dim=32, words_num=8)
-        cfg = T.TrainConfig(gan=gan, batch_size=4, ntoken=64)
+        cfg = T.TrainConfig(gan=gan, batch_size=4, ntoken=64,
+                            encoder_precision=encoder_precision)
     _mark(f"backend={jax.default_backend()} batch={cfg.batch_size} gf_dim={gan.gf_dim}")
 
     models = T.build_models(cfg)
@@ -79,10 +81,13 @@ def setup(*, batch: int = 64):
     return T, cfg, models, state, enc, batch_dev
 
 
-def run(*, steps: int = 8, batch: int = 64) -> dict:
+def run(*, steps: int = 8, batch: int = 64, encoder_precision: str = "highest",
+        key_prefix: str = "train_step") -> dict:
     """Build, compile, and time the fused train step on the current backend.
-    Importable by bench.py (train-step section) — keep the single copy here."""
-    T, cfg, models, state, enc, batch = setup(batch=batch)
+    Importable by bench.py (train-step section) — keep the single copy here.
+    ``encoder_precision='fast'`` benches the bf16-frozen-encoder knob
+    (TrainConfig.encoder_precision); ``key_prefix`` names the result keys."""
+    T, cfg, models, state, enc, batch = setup(batch=batch, encoder_precision=encoder_precision)
 
     step_fn = jax.jit(T.make_train_step(cfg, models), donate_argnums=(0,))
     _mark("compiling train step (first call)")
@@ -105,9 +110,9 @@ def run(*, steps: int = 8, batch: int = 64) -> dict:
 
     step_ms = best / steps * 1e3
     return {
-        "train_step_images_per_sec": round(cfg.batch_size * steps / best, 2),
-        "train_step_ms": round(step_ms, 1),
-        "train_step_compile_sec": round(compile_sec, 1),
+        f"{key_prefix}_images_per_sec": round(cfg.batch_size * steps / best, 2),
+        f"{key_prefix}_ms": round(step_ms, 1),
+        f"{key_prefix}_compile_sec": round(compile_sec, 1),
     }
 
 
@@ -116,6 +121,7 @@ def main() -> None:
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--steps", type=int, default=8, help="steps per timing pass")
     p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--encoder_precision", choices=("highest", "fast"), default="highest")
     p.add_argument("--cache", action="store_true", help="enable the persistent compile cache")
     args = p.parse_args()
     if args.cpu:
@@ -124,7 +130,8 @@ def main() -> None:
         from tise_tpu.core import compile_cache
 
         compile_cache.enable()
-    print(json.dumps(run(steps=args.steps, batch=args.batch)))
+    print(json.dumps(run(steps=args.steps, batch=args.batch,
+                         encoder_precision=args.encoder_precision)))
 
 
 if __name__ == "__main__":
