@@ -199,6 +199,97 @@ class TestCounterModel:
         for k, v in metrics.items():
             assert np.isfinite(v), k
 
+    def test_single_forward_vjp_matches_double_forward(self):
+        """The counter step's vjp restructure (ONE G forward whose residuals
+        serve both the D update's detached fakes and the post-D-update G
+        backward) must match a naive transcription of the reference ordering
+        (CounterModel/trainer.py:230-330) — a second identical G forward
+        inside the G loss closure — to float tolerance.  Mirror of
+        tests/test_attngan.py::test_single_forward_vjp_matches_double_forward
+        for the MSG-D trainer."""
+        import optax
+
+        from dataclasses import replace
+
+        from tise_tpu.models.attngan_pp import losses as L
+
+        gan = GanConfig(gf_dim=8, df_dim=8, z_dim=8, condition_dim=8, embedding_dim=16, words_num=6)
+        cfg = replace(CT.default_config(), gan=gan, batch_size=2, ntoken=40)
+        models = CT.build_models(cfg)
+        state, enc = CT.init_state(cfg, models, jax.random.PRNGKey(0))
+        batch = T.synthetic_batch(cfg, np.random.RandomState(0), cfg.batch_size)
+        rng = jax.random.PRNGKey(1)
+
+        new_state, metrics = jax.jit(CT.make_train_step(cfg, models))(state, batch, enc, rng)
+
+        def reference_step(state, batch, encoder_params, rng):
+            dnet = models.dnet
+            g_tx = optax.adam(cfg.g_lr, b1=cfg.beta1, b2=cfg.beta2)
+            d_tx = optax.adam(cfg.d_lr, b1=cfg.beta1, b2=cfg.beta2)
+            rng_ca, rng_z = jax.random.split(jax.random.fold_in(rng, state.step))
+            words_embs, sent_emb = models.text_encoder.apply(
+                encoder_params["text"], batch.captions, batch.cap_lens
+            )
+            words_embs = jax.lax.stop_gradient(words_embs)
+            sent_emb = jax.lax.stop_gradient(sent_emb)
+            mask = batch.captions == 0
+            b = batch.captions.shape[0]
+            z = jax.random.normal(rng_z, (b, cfg.gan.z_dim))
+            reals = CT.multiscale_reals(batch.images[-1])
+
+            def g_apply(g_params):
+                return models.gnet.apply(
+                    {"params": g_params, "batch_stats": state.g_batch_stats},
+                    z, sent_emb, words_embs, mask, rng_ca, train=True, mutable=["batch_stats"],
+                )
+
+            (fakes, _a, _mu, _lv), _ = g_apply(state.g_params)
+            fakes_sg = [jax.lax.stop_gradient(f) for f in fakes]
+
+            def d_loss_fn(params):
+                var = {"params": params, "spectral": state.d_spectral}
+                real_h, mut = dnet.apply(var, reals, method=dnet.features, mutable=["spectral"])
+                fake_h, _ = dnet.apply(var, fakes_sg, method=dnet.features, mutable=["spectral"])
+                rc = dnet.apply(var, real_h, sent_emb, method=dnet.cond_logits, mutable=["spectral"])[0]
+                fc = dnet.apply(var, fake_h, sent_emb, method=dnet.cond_logits, mutable=["spectral"])[0]
+                wc = dnet.apply(var, real_h[: b - 1], sent_emb[1:], method=dnet.cond_logits, mutable=["spectral"])[0]
+                ru = dnet.apply(var, real_h, method=dnet.uncond_logits, mutable=["spectral"])[0]
+                fu = dnet.apply(var, fake_h, method=dnet.uncond_logits, mutable=["spectral"])[0]
+                parts = L.discriminator_loss(rc, ru, fc, fu, wc)
+                return parts.total, mut["spectral"]
+
+            (_, new_spec), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(state.d_params)
+            d_updates, _ = d_tx.update(d_grads, state.d_opt, state.d_params)
+            new_d_params = optax.apply_updates(state.d_params, d_updates)
+
+            def g_loss_fn(g_params):
+                (fakes_g, _aa, mu_g, logvar_g), _ = g_apply(g_params)  # SECOND forward
+                var = {"params": new_d_params, "spectral": new_spec}
+                h, _ = dnet.apply(var, fakes_g, method=dnet.features, mutable=["spectral"])
+                cond = dnet.apply(var, h, sent_emb, method=dnet.cond_logits, mutable=["spectral"])[0]
+                uncond = dnet.apply(var, h, method=dnet.uncond_logits, mutable=["spectral"])[0]
+                total = L.generator_adv_loss(cond, uncond)
+                region, cnn_code = models.image_encoder.apply(encoder_params["image"], fakes_g[-1])
+                w_loss, s_loss = L.generator_damsm_loss(
+                    region, cnn_code, words_embs, sent_emb, batch.cap_lens, batch.class_ids, cfg.damsm
+                )
+                return total + w_loss + s_loss + L.kl_loss(mu_g, logvar_g)
+
+            g_loss, g_grads = jax.value_and_grad(g_loss_fn)(state.g_params)
+            g_updates, _ = g_tx.update(g_grads, state.g_opt, state.g_params)
+            return g_loss, optax.apply_updates(state.g_params, g_updates), new_d_params
+
+        ref_g_loss, ref_g_params, ref_d_params = jax.jit(reference_step)(state, batch, enc, rng)
+        np.testing.assert_allclose(float(metrics["g_loss"]), float(ref_g_loss), rtol=2e-5)
+        jax.tree.map(
+            lambda a, b_: np.testing.assert_allclose(a, b_, rtol=1e-4, atol=2e-6),
+            new_state.g_params, ref_g_params,
+        )
+        jax.tree.map(
+            lambda a, b_: np.testing.assert_allclose(a, b_, rtol=1e-4, atol=2e-6),
+            new_state.d_params, ref_d_params,
+        )
+
     def test_full_loop_via_shared_train(self, tmp_path):
         """train_loop.train(module=CT): the CounterModel plugs into the shared
         epoch/ckpt/log loop (the reference duplicates the whole trainer
