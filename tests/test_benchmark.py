@@ -285,6 +285,26 @@ class TestOrchestrator:
         benchmark.main(_argv(world) + ["--resume", "--only", "crop"])
         assert [m for m, _ in world["calls"]] == ["crop"]
 
+    def test_resume_invalidates_downstream_of_reran_stage(self, world):
+        """When a dependency actually re-runs (crop.done lost -> crops
+        regenerated), a pre-existing o_is/o_fid result was computed over the
+        OLD crops and must NOT be resumed (ADVICE r4)."""
+        benchmark.main(_argv(world))
+        out = os.path.join(world["out"], "MyModel")
+        world["calls"].clear()
+        os.remove(os.path.join(out, "crop.done"))
+        benchmark.main(_argv(world) + ["--resume"])
+        assert sorted(m for m, _ in world["calls"]) == ["crop", "o_fid", "o_is"]
+
+    def test_resume_refuses_config_mismatch(self, world):
+        """--resume under different result-affecting flags must refuse rather
+        than mix two configurations into one metrics.json (ADVICE r4)."""
+        benchmark.main(_argv(world, only="fid"))
+        with pytest.raises(SystemExit, match="resume refused"):
+            benchmark.main(_argv(world, only="fid", precision="fast") + ["--resume"])
+        # same flags resume fine; batch_size is value-invariant and exempt
+        benchmark.main(_argv(world, only="fid", batch_size="4") + ["--resume"])
+
     def test_precision_flag_propagates(self, world):
         benchmark.main(_argv(world, only="fid", precision="fast"))
         _, argv = world["calls"][0]

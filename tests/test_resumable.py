@@ -1,0 +1,199 @@
+"""Drop-tolerant streaming pipelines (VERDICT r4 #3).
+
+The axon tunnel drops mid-run, and with AXON_JOURNAL_COMPACT=1 (the host-RSS
+leak fix) the in-process backend cannot replay — so the streaming metric
+pipelines snapshot their prefix state (rows/successes + file cursor)
+periodically and resume, either in-process after a backend reset
+(core/backend.py) or across a process re-run (the reference's SOA pickle
+convention, SOA.py:77-79, generalized to FID/IS*/O-IS/O-FID/RP).
+
+The tests kill the pipeline mid-run (an injected transport error) and assert
+the resumed result is BIT-EQUAL to a straight run.
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from tise_tpu.core import backend as backend_lib
+from tise_tpu.core.data import ImageFolderLoader
+from tise_tpu.metrics import extractor as ext
+from tise_tpu.metrics.extractor import BatchedExtractor, run_resumable
+
+
+def _apply_fn(params, x):
+    return {"feat": jnp.concatenate([x.mean(axis=(1, 2)), x.max(axis=(1, 2))], axis=-1)}
+
+
+def _make_images(folder, n, size=16, seed=0):
+    rng = np.random.RandomState(seed)
+    os.makedirs(folder, exist_ok=True)
+    for i in range(n):
+        Image.fromarray(rng.randint(0, 256, (size, size, 3)).astype(np.uint8)).save(
+            os.path.join(folder, f"{i:03d}.png")
+        )
+    return sorted(os.path.join(folder, f) for f in os.listdir(folder))
+
+
+class _Flaky:
+    """Extractor wrapper that raises a transport-looking error on one call."""
+
+    def __init__(self, inner: BatchedExtractor, fail_on_call: int, fuse: dict):
+        self.inner = inner
+        self.fail_on_call = fail_on_call
+        self.fuse = fuse  # shared across rebuilds: blows exactly once
+        self.calls = 0
+
+    def __call__(self, images):
+        self.calls += 1
+        if self.calls == self.fail_on_call and not self.fuse.get("blown"):
+            self.fuse["blown"] = True
+            raise RuntimeError("UNAVAILABLE: TPU backend connection dropped (injected)")
+        return self.inner(images)
+
+
+@pytest.fixture
+def world(tmp_path):
+    files = _make_images(str(tmp_path / "imgs"), 11)  # 3 batches of 4,4,3
+    oracle = BatchedExtractor(_apply_fn, {}, recipe="fid").run(
+        ImageFolderLoader(files, 4, 16)
+    )["feat"]
+    return dict(files=files, oracle=oracle, snap=str(tmp_path / "snap.npz"))
+
+
+class TestRunResumable:
+    def test_parity_and_snapshot_cleanup(self, world):
+        out = run_resumable(
+            lambda: BatchedExtractor(_apply_fn, {}, recipe="fid"),
+            world["files"], batch_size=4, image_size=16,
+            snapshot_path=world["snap"], snapshot_every=4,
+        )["feat"]
+        np.testing.assert_array_equal(out, world["oracle"])
+        assert not os.path.exists(world["snap"])  # completed run cleans up
+
+    def test_inprocess_drop_resumes_from_snapshot(self, world, monkeypatch):
+        resets = []
+        monkeypatch.setattr(backend_lib, "reset_backend", lambda: resets.append(1))
+        fuse: dict = {}
+        builds = []
+
+        def build():
+            e = _Flaky(BatchedExtractor(_apply_fn, {}, recipe="fid"), fail_on_call=3, fuse=fuse)
+            builds.append(e)
+            return e
+
+        out = run_resumable(
+            build, world["files"], batch_size=4, image_size=16,
+            snapshot_path=world["snap"], snapshot_every=4,
+        )["feat"]
+        np.testing.assert_array_equal(out, world["oracle"])
+        assert resets == [1] and len(builds) == 2  # reset + extractor rebuild
+        # the drop hit after the first snapshot (8 images flushed): the second
+        # extractor only re-ran the remaining 3 files, not the whole list
+        assert builds[1].calls == 1
+        assert not os.path.exists(world["snap"])
+
+    def test_drop_before_first_snapshot_restarts_clean(self, world, monkeypatch):
+        monkeypatch.setattr(backend_lib, "reset_backend", lambda: None)
+        fuse: dict = {}
+        out = run_resumable(
+            lambda: _Flaky(BatchedExtractor(_apply_fn, {}, recipe="fid"), 1, fuse),
+            world["files"], batch_size=4, image_size=16,
+            snapshot_path=world["snap"], snapshot_every=1000,
+        )["feat"]
+        np.testing.assert_array_equal(out, world["oracle"])
+
+    def test_process_level_resume(self, world):
+        """max_resets=0: the drop propagates (in-process recovery exhausted /
+        unavailable) but the snapshot survives; a fresh invocation — the
+        re-run of the same CLI command — resumes from it bit-equal."""
+        fuse: dict = {}
+        with pytest.raises(RuntimeError, match="UNAVAILABLE"):
+            run_resumable(
+                lambda: _Flaky(BatchedExtractor(_apply_fn, {}, recipe="fid"), 3, fuse),
+                world["files"], batch_size=4, image_size=16,
+                snapshot_path=world["snap"], snapshot_every=4, max_resets=0,
+            )
+        assert os.path.exists(world["snap"])  # durable state left behind
+        second = _Flaky(BatchedExtractor(_apply_fn, {}, recipe="fid"), 10 ** 9, {})
+        out = run_resumable(
+            lambda: second, world["files"], batch_size=4, image_size=16,
+            snapshot_path=world["snap"], snapshot_every=4,
+        )["feat"]
+        np.testing.assert_array_equal(out, world["oracle"])
+        assert second.calls == 1  # resumed at the snapshot (3 files left), not from scratch
+        assert not os.path.exists(world["snap"])
+
+    def test_programming_errors_propagate(self, world, monkeypatch):
+        calls = []
+        monkeypatch.setattr(backend_lib, "reset_backend", lambda: calls.append(1))
+
+        class Broken:
+            def __call__(self, images):
+                raise ValueError("not a transport error")
+
+        with pytest.raises(ValueError):
+            run_resumable(
+                lambda: Broken(), world["files"], batch_size=4, image_size=16,
+                snapshot_path=world["snap"], snapshot_every=4,
+            )
+        assert calls == []  # no retry on non-transport errors
+
+    def test_stale_fingerprint_ignored(self, world):
+        # snapshot from a DIFFERENT file list must not poison this run
+        ext._save_snapshot(
+            world["snap"], "deadbeef", {"feat": [np.zeros((4, 6), np.float32)]}, 4
+        )
+        out = run_resumable(
+            lambda: BatchedExtractor(_apply_fn, {}, recipe="fid"),
+            world["files"], batch_size=4, image_size=16,
+            snapshot_path=world["snap"], snapshot_every=4,
+        )["feat"]
+        np.testing.assert_array_equal(out, world["oracle"])
+
+
+class TestRpSnapshot:
+    def _world(self, tmp_path, n=20):
+        import sys
+
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from test_metric_logic import _StubScorer, _StubTokenizer, _write_indexed_images
+
+        items = [
+            {"caption_id": i, "caption": f"c{i}", "mismatched_captions": [f"m{j}" for j in range(9)]}
+            for i in range(n)
+        ]
+        img_dir = str(tmp_path / "imgs")
+        _write_indexed_images(img_dir, range(n))
+        paths = [os.path.join(img_dir, f"{i}.png") for i in range(n)]
+        return items, paths, _StubScorer, _StubTokenizer
+
+    def test_rp_snapshot_parity_after_drop(self, tmp_path, monkeypatch):
+        from tise_tpu.metrics import rp_coco
+
+        items, paths, Scorer, Tok = self._world(tmp_path)
+        oracle = rp_coco.score_items(items, paths, Scorer(), Tok(), batch_size=4)
+
+        monkeypatch.setattr(backend_lib, "reset_backend", lambda: None)
+        snap = str(tmp_path / "rp.snapshot.npz")
+
+        class FlakyScorer(Scorer):
+            calls = 0
+            blown = False
+
+            def logits_from_bank(self, images, bank, idx):
+                FlakyScorer.calls += 1
+                if FlakyScorer.calls == 3 and not FlakyScorer.blown:
+                    FlakyScorer.blown = True
+                    raise RuntimeError("UNAVAILABLE: injected drop")
+                return super().logits_from_bank(images, bank, idx)
+
+        got = rp_coco.score_items(
+            items, paths, FlakyScorer(), Tok(), batch_size=4,
+            snapshot_path=snap, build_scorer=FlakyScorer, snapshot_every=4,
+        )
+        np.testing.assert_array_equal(got, oracle)
+        assert not os.path.exists(snap)

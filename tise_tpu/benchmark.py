@@ -102,6 +102,7 @@ class Plan:
 
         values: Dict[str, float] = {}
         done = set()
+        ran = set()  # stages that actually EXECUTED this run (not resumed)
         for st in self.stages:
             missing = [p for p in st.inputs if not p or not os.path.exists(p)]
             failed_deps = [d for d in st.after if d not in done]
@@ -112,7 +113,15 @@ class Plan:
                 )
                 print(f"[benchmark] SKIP {st.name} ({why})")
                 continue
-            if resume and st.result and os.path.exists(st.result):
+            # a resumed result is only trustworthy if every upstream stage it
+            # consumed was itself resumed: when a dependency re-ran this run
+            # (e.g. crop regenerated the crops dir) a pre-existing o_is/o_fid
+            # result was computed over the OLD inputs — re-run it (ADVICE r4)
+            stale_deps = [d for d in st.after if d in ran]
+            if resume and stale_deps:
+                print(f"[benchmark] RESUME {st.name} skipped (upstream re-ran: "
+                      f"{', '.join(stale_deps)})")
+            if resume and not stale_deps and st.result and os.path.exists(st.result):
                 try:
                     values.update(st.parse())
                     done.add(st.name)
@@ -126,6 +135,7 @@ class Plan:
                 st.run()
                 values.update(st.parse())
                 done.add(st.name)
+                ran.add(st.name)
                 self.timings[st.name] = round(time.perf_counter() - t0, 2)
                 print(f"[benchmark] DONE {st.name} in {self.timings[st.name]:.1f}s")
             except Exception as e:  # noqa: BLE001 — one stage must not kill the run
@@ -161,7 +171,8 @@ def _coco_plan(args, out: str) -> Plan:
             [args.images, d("coco_fid_stats"), w("inception")],
             lambda: fid.main(
                 ["--path1", d("coco_fid_stats"), "--path2", args.images,
-                 "--saved_file", txt("fid"), "--weights", w("inception")] + prec + bs
+                 "--saved_file", txt("fid"), "--weights", w("inception"),
+                 "--snapshot_dir", out] + prec + bs
             ),
             lambda: {"FID": result_io.read_fid_result(txt("fid"))},
             result=txt("fid"),
@@ -173,7 +184,8 @@ def _coco_plan(args, out: str) -> Plan:
             [args.images, w("inception_2015")],
             lambda: is_star.main(
                 ["--image_folder", args.images, "--flavor", "coco",
-                 "--saved_file", txt("is_star"), "--weights", w("inception_2015")] + prec + bs_u
+                 "--saved_file", txt("is_star"), "--weights", w("inception_2015"),
+                 "--snapshot_file", os.path.join(out, "is_star.snapshot.npz")] + prec + bs_u
             ),
             lambda: {"IS*": result_io.read_is_coco_result(txt("is_star"))[0]},
             result=txt("is_star"),
@@ -186,7 +198,8 @@ def _coco_plan(args, out: str) -> Plan:
             lambda: rp_coco.main(
                 ["--image_dir", args.images, "--rp_input_file", d("coco_rp_captions"),
                  "--saved_file_path", txt("rp"), "--weights", w("clip"),
-                 "--bpe_path", w("clip_bpe")] + prec + bs_u
+                 "--bpe_path", w("clip_bpe"),
+                 "--snapshot_file", os.path.join(out, "rp.snapshot.npz")] + prec + bs_u
             ),
             lambda: {"RP": result_io.read_rp_coco_result(txt("rp"))[0] * 100},
             result=txt("rp"),
@@ -262,7 +275,8 @@ def _coco_plan(args, out: str) -> Plan:
             [w("inception_80")],
             lambda: o_is.main(
                 ["--image_dir", crops_dir, "--saved_file", txt("o_is"),
-                 "--weights", w("inception_80")] + prec + bs_u
+                 "--weights", w("inception_80"),
+                 "--snapshot_file", os.path.join(out, "o_is.snapshot.npz")] + prec + bs_u
             ),
             lambda: {"O-IS": result_io.read_o_is_result(txt("o_is"))[0]},
             after=("crop",),
@@ -275,7 +289,8 @@ def _coco_plan(args, out: str) -> Plan:
             [d("o_fid_stats"), w("inception_80")],
             lambda: o_fid.main(
                 ["--path1", d("o_fid_stats"), "--path2", crops_dir,
-                 "--saved_file", txt("o_fid"), "--weights", w("inception_80")] + prec + bs
+                 "--saved_file", txt("o_fid"), "--weights", w("inception_80"),
+                 "--snapshot_dir", out] + prec + bs
             ),
             lambda: {"O-FID": result_io.read_fid_result(txt("o_fid"))},
             after=("crop",),
@@ -305,7 +320,8 @@ def _cub_plan(args, out: str) -> Plan:
             [args.images, d("cub_fid_stats"), w("inception")],
             lambda: fid.main(
                 ["--path1", d("cub_fid_stats"), "--path2", args.images,
-                 "--saved_file", txt("fid"), "--weights", w("inception")] + prec + bs
+                 "--saved_file", txt("fid"), "--weights", w("inception"),
+                 "--snapshot_dir", out] + prec + bs
             ),
             lambda: {"FID": result_io.read_fid_result(txt("fid"))},
             result=txt("fid"),
@@ -317,7 +333,8 @@ def _cub_plan(args, out: str) -> Plan:
             [args.images, w("inception_cub")],
             lambda: is_star.main(
                 ["--image_folder", args.images, "--flavor", "cub",
-                 "--saved_file", txt("is_star"), "--weights", w("inception_cub")] + prec + bs_u
+                 "--saved_file", txt("is_star"), "--weights", w("inception_cub"),
+                 "--snapshot_file", os.path.join(out, "is_star.snapshot.npz")] + prec + bs_u
             ),
             lambda: {"IS*": result_io.read_is_result(txt("is_star"))[0]},
             result=txt("is_star"),
@@ -387,6 +404,26 @@ def main(argv: Optional[Sequence[str]] = None) -> Dict[str, float]:
 
     out = os.path.join(args.output_root, args.method_name)
     os.makedirs(out, exist_ok=True)
+    # stamp the result-affecting flags so --resume cannot silently mix stage
+    # results computed under two configurations into one metrics.json
+    # (ADVICE r4); batch_size is excluded — values are batch-invariant by
+    # design (padded tails masked, tests/test_metrics_cli.py)
+    effective = {"track": args.track, "precision": args.precision,
+                 "roi_sampling": args.roi_sampling, "proposals": args.proposals}
+    config_path = os.path.join(out, "run_config.json")
+    if args.resume and os.path.exists(config_path):
+        with open(config_path) as f:
+            prior = json.load(f)
+        if prior != effective:
+            diff = {k: (prior.get(k), effective[k])
+                    for k in effective if prior.get(k) != effective[k]}
+            raise SystemExit(
+                f"[benchmark] --resume refused: existing results under {out} were "
+                f"produced with different flags {diff} (prior, requested); use a "
+                f"fresh --output_root/--method_name or delete the old results"
+            )
+    with open(config_path, "w") as f:
+        json.dump(effective, f)
     plan = _coco_plan(args, out) if args.track == "coco" else _cub_plan(args, out)
     if args.only:
         keep = {s.strip() for s in args.only.split(",")}

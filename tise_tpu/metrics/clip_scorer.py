@@ -127,6 +127,11 @@ class ClipPairScorer:
         embedding rows)."""
         self._build_bank_fns()
         n = len(tokens)
+        if n == 0:
+            # empty shard (processes > items in a multi-host run): the
+            # non-dedup path handles this, the bank path must too (ADVICE r4)
+            d = self.params["params"]["text"]["text_projection"].shape[-1]
+            return jnp.zeros((0, d), jnp.float32)
         dp = self.data_parallel
         outs = []
         for start in range(0, n, batch_size):
@@ -137,13 +142,13 @@ class ClipPairScorer:
             outs.append(self._encode_fn(self.params, chunk)[: len(tokens[start : start + batch_size])])
         return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
-    def logits_from_bank(self, images_u8: np.ndarray, bank: jax.Array, idx: np.ndarray) -> np.ndarray:
-        """[B,224,224,3] uint8 + [N,D] bank + [B,K] int32 rows -> [B,K] logits.
-
-        Equivalent to ``logits(images, tokens[idx])`` with the text tower
-        hoisted out (exact: the per-item logit is scale * <img, txt> either
-        way); the per-step cost drops from B*(1 image + K text) forwards to
-        B image forwards + a [B,K,D] gather."""
+    def dispatch_from_bank(self, images_u8: np.ndarray, bank: jax.Array, idx: np.ndarray):
+        """Non-blocking half of ``logits_from_bank``: pad + dispatch, return
+        the in-flight device array and the valid row count.  Lets the rank
+        loop keep ONE batch in flight so the device computes batch k+1 while
+        the host pulls batch k (the per-batch blocking pull otherwise
+        serializes the ~28 ms tunnel RTT with compute — measured as most of
+        the r4 rank-phase gap, tools/rp_rank_ablate.py)."""
         self._build_bank_fns()
         b = images_u8.shape[0]
         dp = self.data_parallel
@@ -151,8 +156,22 @@ class ClipPairScorer:
         if pad:
             images_u8 = np.concatenate([images_u8, np.zeros((pad,) + images_u8.shape[1:], images_u8.dtype)])
             idx = np.concatenate([idx, np.zeros((pad,) + idx.shape[1:], idx.dtype)])
-        out = np.asarray(jax.device_get(self._from_bank_fn(self.params, images_u8, bank, idx)))
-        return out[:b]
+        return self._from_bank_fn(self.params, images_u8, bank, idx), b
+
+    @staticmethod
+    def pull_logits(inflight) -> np.ndarray:
+        """Blocking half: (device array, valid count) -> [b, K] numpy."""
+        dev, b = inflight
+        return np.asarray(jax.device_get(dev))[:b]
+
+    def logits_from_bank(self, images_u8: np.ndarray, bank: jax.Array, idx: np.ndarray) -> np.ndarray:
+        """[B,224,224,3] uint8 + [N,D] bank + [B,K] int32 rows -> [B,K] logits.
+
+        Equivalent to ``logits(images, tokens[idx])`` with the text tower
+        hoisted out (exact: the per-item logit is scale * <img, txt> either
+        way); the per-step cost drops from B*(1 image + K text) forwards to
+        B image forwards + a [B,K,D] gather."""
+        return self.pull_logits(self.dispatch_from_bank(images_u8, bank, idx))
 
     def logits(self, images_u8: np.ndarray, tokens: np.ndarray) -> np.ndarray:
         """[B, 224, 224, 3] uint8 + [B, K, 77] int32 -> [B, K] float32.

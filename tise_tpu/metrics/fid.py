@@ -73,10 +73,14 @@ def compute_statistics_of_path(
     legacy_compat: bool = False,
     streaming: bool = False,
     host_image_size: int = 299,
+    snapshot_path: str = "",
+    build_extractor=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """mu/sigma of a folder (or load a cached npz).  Mirrors
     fid_score.py:199-220.  ``host_image_size`` < 299 pairs with a
-    device-resize extractor (decode-only host path)."""
+    device-resize extractor (decode-only host path).  ``snapshot_path``
+    makes the extraction drop-tolerant (periodic rows+cursor snapshots +
+    in-process backend reset; extractor.run_resumable) — bit-equal result."""
     import os
 
     if not os.path.exists(path):
@@ -87,7 +91,23 @@ def compute_statistics_of_path(
     loader = ImageFolderLoader.from_dir(path, batch_size, host_image_size, drop_last=legacy_compat)
     if loader.num_images() == 0:
         raise RuntimeError(f"No images found under: {path}")
-    acts = extractor.run(loader, keys=("pool3",))["pool3"]
+    if snapshot_path:
+        from tise_tpu.metrics.extractor import run_resumable
+
+        # drop_last truncation applied to the GLOBAL list up front (the
+        # resumable loader restarts mid-list, where a local drop_last would
+        # cut at the wrong boundary)
+        files = loader.files[: loader.num_images()]
+        acts = run_resumable(
+            build_extractor or (lambda: extractor),
+            files,
+            batch_size=batch_size,
+            image_size=host_image_size,
+            keys=("pool3",),
+            snapshot_path=snapshot_path,
+        )["pool3"]
+    else:
+        acts = extractor.run(loader, keys=("pool3",))["pool3"]
     if streaming:
         # device-side sufficient statistics (for very large sets); the default
         # follows the reference and does float64 host covariance on raw acts.
@@ -110,18 +130,28 @@ def calculate_fid_given_paths(
     sqrtm_method: str = "scipy",
     device_resize_from: int = 0,
     fast: bool = False,
+    snapshot_dir: str = "",
 ) -> float:
     extractor = None
+    build = None
     if not (path1.endswith(".npz") and path2.endswith(".npz")):
-        extractor = make_pool3_extractor(
+        build = lambda: make_pool3_extractor(  # noqa: E731 — rebuilt after a backend reset
             params, mesh=mesh, device_resize_from=device_resize_from, fast=fast
         )
+        extractor = build()
+    import os
+
     size = device_resize_from or 299
+    snap = (lambda i: os.path.join(snapshot_dir, f"fid_path{i}.snapshot.npz")) if snapshot_dir else (lambda i: "")
+    if snapshot_dir:
+        os.makedirs(snapshot_dir, exist_ok=True)
     m1, s1 = compute_statistics_of_path(
-        path1, extractor, batch_size, legacy_compat=legacy_compat, host_image_size=size
+        path1, extractor, batch_size, legacy_compat=legacy_compat, host_image_size=size,
+        snapshot_path=snap(1), build_extractor=build,
     )
     m2, s2 = compute_statistics_of_path(
-        path2, extractor, batch_size, legacy_compat=legacy_compat, host_image_size=size
+        path2, extractor, batch_size, legacy_compat=legacy_compat, host_image_size=size,
+        snapshot_path=snap(2), build_extractor=build,
     )
     return sqrtm.frechet_distance(m1, s1, m2, s2, method=sqrtm_method)
 
@@ -192,6 +222,14 @@ def main(argv=None) -> None:
         default=0,
         help="source image size; resize 299 happens on-device (fast path, ~PIL parity)",
     )
+    p.add_argument(
+        "--snapshot_dir",
+        type=str,
+        default="",
+        help="make extraction drop-tolerant: periodic rows+cursor snapshots "
+             "under this dir; a dropped/killed run resumes from them "
+             "(bit-equal result; see extractor.run_resumable)",
+    )
     add_precision_flag(p)
     add_distributed_flags(p)
     args = p.parse_args(argv)
@@ -224,6 +262,7 @@ def main(argv=None) -> None:
         sqrtm_method=args.sqrtm,
         device_resize_from=args.device_resize_from,
         fast=args.precision == "fast",
+        snapshot_dir=args.snapshot_dir,
     )
     if args.saved_file:
         result_io.write_fid_result(args.saved_file, fid_value)

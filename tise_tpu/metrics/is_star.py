@@ -45,8 +45,15 @@ def compute_is_star(
     splits: int = NUM_SPLITS,
     seed: int = 0,
     logits_key: str = "logits",
+    snapshot_path: str = "",
+    build_extractor=None,
 ) -> Tuple[float, float]:
-    """Run the IS* pipeline over a folder of generated images."""
+    """Run the IS* pipeline over a folder of generated images.
+
+    ``snapshot_path`` makes the extraction drop-tolerant (periodic
+    rows+cursor snapshots + in-process backend reset, bit-equal result;
+    extractor.run_resumable — the seeded shuffle makes the file order
+    deterministic across resumes)."""
     if flavor not in ("cub", "coco"):
         raise ValueError(flavor)
     temperature = IS_STAR_TEMPERATURE_CUB if flavor == "cub" else IS_STAR_TEMPERATURE_COCO
@@ -63,8 +70,20 @@ def compute_is_star(
     else:
         drop_last = False
 
-    loader = ImageFolderLoader(files, batch_size, 299, drop_last=drop_last)
-    logits = extractor.run(loader, keys=(logits_key,))[logits_key]
+    if snapshot_path:
+        from tise_tpu.metrics.extractor import run_resumable
+
+        logits = run_resumable(
+            build_extractor or (lambda: extractor),
+            files,
+            batch_size=batch_size,
+            image_size=299,
+            keys=(logits_key,),
+            snapshot_path=snapshot_path,
+        )[logits_key]
+    else:
+        loader = ImageFolderLoader(files, batch_size, 299, drop_last=drop_last)
+        logits = extractor.run(loader, keys=(logits_key,))[logits_key]
     probs = np.asarray(kl.temperature_softmax(np.asarray(logits), temperature))
     return kl.inception_score(probs, splits)
 
@@ -86,13 +105,18 @@ def main(argv=None) -> None:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--gpu", type=int, default=0, help="ignored (TPU build)")
     p.add_argument("--weights", type=str, required=True, help="converted slim checkpoint (.npz)")
+    p.add_argument("--snapshot_file", type=str, default="",
+                   help="make extraction drop-tolerant: periodic rows+cursor "
+                        "snapshot at this path (bit-equal result; "
+                        "extractor.run_resumable)")
     add_precision_flag(p)
     add_distributed_flags(p)
     args = p.parse_args(argv)
     configure_precision(args.precision)
     maybe_init_distributed(args)
 
-    extractor = _build_extractor(args.weights, args.flavor)
+    build = lambda: _build_extractor(args.weights, args.flavor)  # noqa: E731
+    extractor = build()
     mean, std = compute_is_star(
         args.image_folder,
         extractor,
@@ -100,6 +124,8 @@ def main(argv=None) -> None:
         batch_size=args.batch_size,
         splits=args.splits,
         seed=args.seed,
+        snapshot_path=args.snapshot_file,
+        build_extractor=build,
     )
     if args.saved_file:
         if args.flavor == "cub":

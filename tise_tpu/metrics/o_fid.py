@@ -34,6 +34,8 @@ def main(argv=None) -> None:
     p.add_argument("--weights", type=str, default=None, help="80-class fine-tuned inception (.pth/.npz)")
     p.add_argument("--legacy-compat", action="store_true")
     p.add_argument("--sqrtm", type=str, default="scipy", choices=["scipy", "eigh", "ns", "ns-pallas"])
+    p.add_argument("--snapshot_dir", type=str, default="",
+                   help="drop-tolerant extraction snapshots (see fid --snapshot_dir)")
     add_precision_flag(p)
     add_distributed_flags(p)
     args = p.parse_args(argv)
@@ -72,6 +74,7 @@ def main(argv=None) -> None:
         legacy_compat=args.legacy_compat,
         sqrtm_method=args.sqrtm,
         fast=args.precision == "fast",
+        snapshot_dir=args.snapshot_dir,
     )
     if args.saved_file:
         result_io._write(args.saved_file, f"O-FID: {value}")

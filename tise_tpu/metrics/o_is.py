@@ -44,11 +44,25 @@ def compute_o_is(
     *,
     batch_size: int = 32,
     splits: int = NUM_SPLITS,
+    snapshot_path: str = "",
+    build_extractor=None,
 ) -> Tuple[float, float]:
     loader = ImageFolderLoader.from_dir(image_dir, batch_size, 299)
     if loader.num_images() == 0:
         raise RuntimeError(f"No images found under: {image_dir}")
-    logits = extractor.run(loader, keys=("logits",))["logits"]
+    if snapshot_path:
+        from tise_tpu.metrics.extractor import run_resumable
+
+        logits = run_resumable(
+            build_extractor or (lambda: extractor),
+            loader.files,
+            batch_size=batch_size,
+            image_size=299,
+            keys=("logits",),
+            snapshot_path=snapshot_path,
+        )["logits"]
+    else:
+        logits = extractor.run(loader, keys=("logits",))["logits"]
     probs = np.asarray(kl.temperature_softmax(jnp.asarray(logits), O_IS_TEMPERATURE))
     return kl.inception_score(probs, splits)
 
@@ -60,6 +74,10 @@ def main(argv=None) -> None:
     p.add_argument("--gpu_id", type=int, default=0, help="ignored (TPU build)")
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--weights", type=str, required=True, help="80-class fine-tuned inception (.pth/.npz)")
+    p.add_argument("--snapshot_file", type=str, default="",
+                   help="make extraction drop-tolerant: periodic rows+cursor "
+                        "snapshot at this path (bit-equal result; "
+                        "extractor.run_resumable)")
     add_precision_flag(p)
     add_distributed_flags(p)
     args = p.parse_args(argv)
@@ -69,8 +87,10 @@ def main(argv=None) -> None:
     from tise_tpu.core import weights as weights_io
 
     params = weights_io.load_inception_params(args.weights, num_classes=80)
-    extractor = make_logits_extractor(params)
-    mean, std = compute_o_is(args.image_dir, extractor, batch_size=args.batch_size)
+    build = lambda: make_logits_extractor(params)  # noqa: E731
+    extractor = build()
+    mean, std = compute_o_is(args.image_dir, extractor, batch_size=args.batch_size,
+                             snapshot_path=args.snapshot_file, build_extractor=build)
     if args.saved_file:
         result_io.write_o_is_result(args.saved_file, mean, std)
     print(f"O-IS: {mean} +- {std}")

@@ -54,6 +54,9 @@ def score_items(
     batch_size: int = 64,
     num_workers: int = 8,
     dedup_text: bool = True,
+    snapshot_path: str = "",
+    build_scorer=None,
+    snapshot_every: int = 0,
 ) -> np.ndarray:
     """-> bool success per item (GT caption ranked first among 100).
 
@@ -72,13 +75,19 @@ def score_items(
     Multi-host: items shard across processes (local mesh each; the bank is
     built replicated per process), successes allgather into global item
     order (tise_tpu/parallel/multihost.py)."""
+    from tise_tpu.metrics import extractor as ext
     from tise_tpu.parallel import multihost
+
+    if snapshot_path and multihost.is_distributed():
+        raise NotImplementedError(
+            "RP snapshots are single-process; multi-host runs shard items instead"
+        )
 
     n = len(items)
     sel, gidx = multihost.shard_items(list(range(n)))
-    local = np.zeros(len(sel), dtype=bool)
 
     bank = None
+    toks = rows = None
     if dedup_text:
         cap_id: Dict[str, int] = {}
         item_rows = []
@@ -92,19 +101,93 @@ def score_items(
         bank = scorer.encode_text_bank(toks)
         rows = np.asarray(item_rows, dtype=np.int32) if item_rows else np.zeros((0, 1), np.int32)
 
-    with ThreadPoolExecutor(max_workers=num_workers) as pool:
-        for start in range(0, len(sel), batch_size):
-            chunk = sel[start : start + batch_size]
-            imgs = list(pool.map(lambda i: center_crop_resize(image_paths[i], 224), chunk))
+    # drop-tolerant item loop (VERDICT r4 #3): successes are a PREFIX of the
+    # item order — snapshot them + the cursor like the extraction pipelines,
+    # re-encode the bank after an in-process backend reset (device arrays on
+    # the dead client are gone), or resume from disk on a process re-run
+    fp = ""
+    chunks: Dict[str, list] = {}
+    cursor = 0
+    snapshot_every = snapshot_every or max(batch_size * 16, 1024)
+    if snapshot_path:
+        fp = ext._snapshot_fingerprint([image_paths[i] for i in sel], 224, ("success",))
+        chunks, cursor = ext._load_snapshot(snapshot_path, fp)
+    # dispatch_from_bank/pull_logits (when the scorer provides them) keep ONE
+    # batch in flight: the device ranks batch k+1 while the host pulls batch
+    # k's [B,K] logits — without this the ~28 ms tunnel RTT of the blocking
+    # pull serializes with compute every batch (tools/rp_rank_ablate.py)
+    can_pipeline = dedup_text and hasattr(scorer, "dispatch_from_bank")
+    resets = 0
+    while cursor < len(sel):
+        try:
+            with ThreadPoolExecutor(max_workers=num_workers) as pool:
+                since = 0
+                inflight = None  # (device logits, valid count, n items)
+
+                def consume(flight) -> None:
+                    nonlocal cursor, since
+                    dev, n_items = flight
+                    logits = scorer.pull_logits(dev)
+                    chunks.setdefault("success", []).append(np.argmax(logits, axis=1) == 0)
+                    cursor += n_items
+                    since += n_items
+
+                for start in range(cursor, len(sel), batch_size):
+                    chunk = sel[start : start + batch_size]
+                    imgs = list(pool.map(lambda i: center_crop_resize(image_paths[i], 224), chunk))
+                    if can_pipeline:
+                        dev = scorer.dispatch_from_bank(
+                            np.stack(imgs), bank, rows[start : start + len(chunk)]
+                        )
+                        if inflight is not None:
+                            consume(inflight)
+                        inflight = (dev, len(chunk))
+                    else:
+                        if dedup_text:
+                            logits = scorer.logits_from_bank(
+                                np.stack(imgs), bank, rows[start : start + len(chunk)]
+                            )
+                        else:
+                            batch_toks = []
+                            for i in chunk:
+                                caps = [items[i]["caption"]] + list(items[i]["mismatched_captions"])
+                                batch_toks.append(tokenizer.tokenize(caps))
+                            logits = scorer.logits(np.stack(imgs), np.stack(batch_toks))
+                        chunks.setdefault("success", []).append(np.argmax(logits, axis=1) == 0)
+                        cursor = start + len(chunk)
+                        since += len(chunk)
+                    if snapshot_path and since >= snapshot_every:
+                        if inflight is not None:  # flush: the cursor must be exact
+                            consume(inflight)
+                            inflight = None
+                        ext._save_snapshot(snapshot_path, fp, chunks, cursor)
+                        since = 0
+                if inflight is not None:
+                    consume(inflight)
+            break
+        except Exception as e:  # noqa: BLE001 — filtered to transport errors below
+            from tise_tpu.core.backend import is_backend_drop, reset_backend
+
+            if not snapshot_path or build_scorer is None or resets >= 2 or not is_backend_drop(e):
+                raise
+            resets += 1
+            print(f"[rp] backend drop at item {cursor}/{len(sel)} ({e}); "
+                  f"reset {resets}/2, resuming from snapshot", flush=True)
+            reset_backend()
+            scorer = build_scorer()
             if dedup_text:
-                logits = scorer.logits_from_bank(np.stack(imgs), bank, rows[start : start + len(chunk)])
-            else:
-                toks = []
-                for i in chunk:
-                    caps = [items[i]["caption"]] + list(items[i]["mismatched_captions"])
-                    toks.append(tokenizer.tokenize(caps))
-                logits = scorer.logits(np.stack(imgs), np.stack(toks))
-            local[start : start + len(chunk)] = np.argmax(logits, axis=1) == 0
+                bank = scorer.encode_text_bank(toks)
+            chunks, cursor = ext._load_snapshot(snapshot_path, fp)
+    if snapshot_path:
+        import os
+
+        if os.path.exists(snapshot_path):
+            os.remove(snapshot_path)
+    local = (
+        np.concatenate(chunks["success"]).astype(bool)
+        if chunks.get("success")
+        else np.zeros(0, dtype=bool)
+    )
     return multihost.allgather_rows(local, gidx, n)
 
 
@@ -118,12 +201,15 @@ def compute_rp(
     seed: int = 0,
     batch_size: int = 64,
     dedup_text: bool = True,
+    snapshot_path: str = "",
+    build_scorer=None,
 ) -> Tuple[float, float, List[float]]:
     import os
 
     paths = [os.path.join(image_dir, f"{item['caption_id']}.png") for item in rp_input]
     success = score_items(
-        rp_input, paths, scorer, tokenizer, batch_size=batch_size, dedup_text=dedup_text
+        rp_input, paths, scorer, tokenizer, batch_size=batch_size, dedup_text=dedup_text,
+        snapshot_path=snapshot_path, build_scorer=build_scorer,
     )
     bins = make_bins(len(rp_input), num_bins, seed)
     bin_scores = [float(np.mean(success[b])) for b in bins]
@@ -146,6 +232,9 @@ def main(argv=None) -> None:
         help="re-encode the 100 captions per item like the reference instead "
         "of the unique-caption embedding bank (exact either way; see score_items)",
     )
+    p.add_argument("--snapshot_file", type=str, default="",
+                   help="make the item loop drop-tolerant: periodic successes+"
+                        "cursor snapshot at this path (bit-equal result)")
     add_precision_flag(p)
     add_distributed_flags(p)
     args = p.parse_args(argv)
@@ -155,7 +244,10 @@ def main(argv=None) -> None:
     from tise_tpu.backbones import clip_vit
 
     rp_input = result_io.load_pickle(args.rp_input_file)
-    scorer = ClipPairScorer(clip_vit.load_params(args.weights), fast=args.precision == "fast")
+    build = lambda: ClipPairScorer(  # noqa: E731 — rebuilt after a backend reset
+        clip_vit.load_params(args.weights), fast=args.precision == "fast"
+    )
+    scorer = build()
     tokenizer = SimpleTokenizer(args.bpe_path)
     mean, std, bin_scores = compute_rp(
         rp_input,
@@ -165,6 +257,8 @@ def main(argv=None) -> None:
         seed=args.seed,
         batch_size=args.batch_size,
         dedup_text=not args.no_dedup_text,
+        snapshot_path=args.snapshot_file,
+        build_scorer=build,
     )
     for i, s in enumerate(bin_scores):
         print(f"Bin: {i}, RP: {s}")
