@@ -16,19 +16,31 @@ Measurement notes (the axon tunnel is hostile to naive timing):
     which is also how the real extraction pipeline runs (host never blocks
     per batch).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Fault model (VERDICT r4 #1): the tunnel intermittently DROPS, and with
+AXON_JOURNAL_COMPACT=1 (the host-RSS leak fix, tise_tpu/__init__.py) the
+in-process jax backend cannot recover — every later dispatch raises
+UNAVAILABLE.  So each section runs in its OWN subprocess (``--section
+<name>``): a drop kills one section's attempt, the parent retries it in a
+fresh process, and every other section is unaffected.  Bonus: every section
+gets the quiet process the fid30k/dispatch probes showed timing requires (no
+stale HBM buffers from earlier sections — ROADMAP r3 rule).  The persistent
+compile cache keeps per-process recompiles at 13-15 s.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 
-import tise_tpu  # noqa: F401  (sets AXON_JOURNAL_COMPACT=1 before backend init)
-import jax
-import jax.numpy as jnp
-import numpy as np
+_T0 = time.perf_counter()
+
+BASELINE_IMAGES_PER_SEC = 5000.0
+_REPO = os.path.dirname(os.path.abspath(__file__))
 
 
 def _mark(msg: str) -> None:
@@ -42,306 +54,35 @@ def _load_tool(name: str):
     bench sections that share their setup with a standalone tool import the
     single copy from there instead of duplicating it — ADVICE r3)."""
     import importlib.util
-    import os
 
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools", f"{name}.py")
+    path = os.path.join(_REPO, "tools", f"{name}.py")
     spec = importlib.util.spec_from_file_location(name, path)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     return mod
 
 
-_T0 = time.perf_counter()
-
-BASELINE_IMAGES_PER_SEC = 5000.0
-
-
-def detector_images_per_sec(on_tpu: bool) -> dict | None:
-    """Static-shape Faster R-CNN sweep throughput (the SOA/O-metrics hot loop:
-    80 labels x ~30k images is the reference's longest pipeline).  Measures
-    the production fast path: bf16 trunk/heads with f32 score/box epilogues
-    (bf16-vs-f32 detection equivalence tested, tests/test_detection.py), the
-    single-gather bin-major multilevel ROIAlign, per-line micro-batch (8
-    exact / 32 fast — the measured HBM/amortization optima, ROADMAP r4)
-    chained inside one dispatch via lax.map + fori_loop so the tunnel's
-    ~10 ms/dispatch tax
-    amortizes like the extraction bench.  Random weights — identical compute
-    to the real sweep.  Two lines: ``detector_images_per_sec`` is the default
-    config (roi_sampling=2, 1000 proposals — detectron2 test-time parity);
-    ``detector_fast_images_per_sec`` is the opt-in sweep preset
-    ``--roi-sampling 1 --proposals 256`` (bin-center ROIAlign sampling +
-    post-NMS top-k cut — the gather floor scales with samples x proposals;
-    detection agreement for both knobs quantified in
-    tests/test_detection.py).  Returns None on failure so the primary metric
-    line always prints."""
-    try:
-        from tise_tpu.backbones.detection.predictor import PIXEL_MEAN_BGR
-        from tise_tpu.backbones.detection.rcnn import FasterRCNN
-
-        size = 800 if on_tpu else 128
-        batch = 64 if on_tpu else 2  # images staged once, re-chunked per line
-        chain = 2 if on_tpu else 1
-        iters = 4 if on_tpu else 1
-        dtype = jnp.bfloat16 if on_tpu else jnp.float32
-        _mark("detector: init (jitted)")
-        # micro-batch per line: the 800px convs carry a per-CALL cost only
-        # micro-batch amortizes (stem 1.03 -> 0.40 ms/img at mb32, tools/
-        # det_stem_probe.py); the fast preset fits mb32 in HBM, the exact
-        # p1000 path OOMs there and is gather-floored anyway (ROADMAP r4)
-        models = {
-            "detector_images_per_sec": (FasterRCNN(dtype=dtype, roi_sampling=2), 8 if on_tpu else 2),
-            "detector_fast_images_per_sec": (
-                FasterRCNN(dtype=dtype, roi_sampling=1, post_nms_topk=256),
-                32 if on_tpu else 2,
-            ),
-        }
-        params = jax.jit(
-            lambda r: models["detector_images_per_sec"][0].init(r, jnp.zeros((size, size, 3), dtype))
-        )(jax.random.PRNGKey(0))
-
-        host = np.random.RandomState(1)
-        imgs_flat = jax.device_put(host.randint(0, 256, (batch, size, size, 3)).astype(np.uint8))
-        int(jax.jit(lambda x: jnp.sum(x, dtype=jnp.int32))(imgs_flat))  # materialize upload
-        seeds = [jnp.uint8(i * chain) for i in range(iters + 1)]
-
-        out: dict = {}
-        for key, (model, mb) in models.items():
-
-            def single(p, img_u8, _m=model):
-                x = (img_u8.astype(jnp.float32) - jnp.asarray(PIXEL_MEAN_BGR)).astype(dtype)
-                return _m.apply(p, x)
-
-            @jax.jit
-            def fwd(p, imgs_u8, seed0, _single=single, _mb=mb):
-                # [batch, H, W, 3] -> [n_chunks, mb, H, W, 3]; per-rep seed
-                # xor defeats the tunnel's result cache without re-uploading
-                x4 = imgs_u8.reshape((-1, _mb) + imgs_u8.shape[1:])
-
-                def rep(i, acc):
-                    x = jnp.bitwise_xor(x4, (seed0 + i).astype(jnp.uint8))
-                    det = jax.lax.map(lambda ch: jax.vmap(_single, in_axes=(None, 0))(p, ch), x)
-                    return acc + jnp.sum(det.scores.astype(jnp.float32))
-
-                return jax.lax.fori_loop(0, chain, rep, jnp.float32(0))
-
-            _mark(f"detector: compile+warm ({key}, mb={mb})")
-            float(fwd(params, imgs_flat, seeds[0]))  # compile + warm
-            # two passes, best reported — same transport artifact as the
-            # fid30k/sweep lines: the tunnel intermittently slows a whole
-            # dispatch chain ~2x (one observed 37 vs 86 img/s on this line)
-            best = None
-            for attempt in range(2):
-                _mark(f"detector: timing ({key}, pass {attempt + 1})")
-                t0 = time.perf_counter()
-                outs = [fwd(params, imgs_flat, (s + jnp.uint8(attempt * 101)).astype(jnp.uint8)) for s in seeds[1:]]
-                float(outs[-1])
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            out[key] = round(batch * chain * iters / best, 2)
-
-        # ---- end-to-end sweep line: the production detect_files loop ----
-        # (reference SOA.py:86-90 / crop_object.py:29-33).  Per-batch dispatch
-        # with the sweep preset (bf16, roi_sampling=1, 256 proposals), ONE
-        # packed [B, D, 7] blocking pull per batch, 1-deep dispatch
-        # pipelining, and the per-image Python box collection — exactly what
-        # TPUDetector.detect_files does, with host decode excluded like
-        # fid30k (pre-staged uint8, salt-cycled to defeat the tunnel's
-        # result cache).  Two passes, best reported (transport artifact —
-        # see fid30k_pipeline docstring).
-        from tise_tpu.backbones.detection.coco_classes import COCO_CLASSES
-        from tise_tpu.backbones.detection.predictor import TPUDetector, pack_detections
-
-        fast_model, fast_mb = models["detector_fast_images_per_sec"]
-
-        def single_fast(p, img_u8):
-            x = (img_u8.astype(jnp.float32) - jnp.asarray(PIXEL_MEAN_BGR)).astype(dtype)
-            return fast_model.apply(p, x)
-
-        @jax.jit
-        def sweep_fwd(p, imgs_u8, salt):
-            x = jnp.bitwise_xor(imgs_u8.reshape((-1, fast_mb) + imgs_u8.shape[1:]), salt)
-            det = jax.lax.map(lambda ch: jax.vmap(single_fast, in_axes=(None, 0))(p, ch), x)
-            return pack_detections(det)
-
-        def collect(results, det_dev):
-            b, s, c, v = TPUDetector._unpack(det_dev)  # single blocking pull
-            for i in range(b.shape[0]):
-                names, ids, bxs = [], [], []
-                for j in range(b.shape[1]):
-                    if not v[i, j]:
-                        continue
-                    names.append(COCO_CLASSES[int(c[i, j])])
-                    ids.append(int(c[i, j]))
-                    bxs.append(b[i, j])
-                results.append((names, ids, bxs))
-
-        n_batches = 12 if on_tpu else 2
-        _mark("detector: sweep e2e compile+warm")
-        collect([], sweep_fwd(params, imgs_flat, jnp.uint8(255)))
-        best = None
-        for attempt in range(2):
-            _mark(f"detector: sweep e2e timing (pass {attempt + 1})")
-            results: list = []
-            inflight = None
-            t0 = time.perf_counter()
-            for bi in range(n_batches):
-                det = sweep_fwd(params, imgs_flat, jnp.uint8(1 + attempt * n_batches + bi))
-                if inflight is not None:
-                    collect(results, inflight)
-                inflight = det
-            collect(results, inflight)
-            dt = time.perf_counter() - t0
-            assert len(results) == n_batches * batch
-            best = dt if best is None else min(best, dt)
-        out["soa_sweep_images_per_sec"] = round(n_batches * batch / best, 2)
-        return out
-    except Exception as e:  # noqa: BLE001 — primary metric must still print
-        _mark(f"detector bench failed: {type(e).__name__}: {e}")
-        return None
+# --------------------------------------------------------------------------
+# sections (each runs in its own subprocess; exceptions propagate so the
+# parent can retry in a fresh process — do NOT swallow errors here)
+# --------------------------------------------------------------------------
 
 
-def generation_throughput(on_tpu: bool) -> dict | None:
-    """Layer-L1 throughput: the full caption->image sampling pipeline (bi-LSTM
-    text encoder + CA_NET + 3-stage AttnGAN++ G forward) at the production
-    eval dims (GF_DIM=64, R_NUM=3 — cfg/eval_coco.yml), 256px finest scale,
-    eval mode, bf16.  The reference generates its 30k-80k evaluation images
-    at batch 10 per GPU (coco_gen_image_from_caption.py:177-203); this is the
-    TPU-native models/generate.py hot path.  Same tunnel rules as the other
-    sections: jitted init, salted chained reps per dispatch, best of two
-    passes.  Model setup + chain live in tise_tpu.models.gen_bench (shared
-    with tools/gen_bench.py, the standalone f32-vs-bf16 version)."""
-    try:
-        from tise_tpu.models import gen_bench
+def extraction_throughput(on_tpu: bool) -> dict:
+    """The headline metric: joint bf16 FastInception (pool3+logits) +
+    FastCLIP image extraction, chained dispatches (reference hot loops
+    fid_score.py:223-238 + RP_coco.py:56-80 share this decode/forward)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
 
-        iters = 4 if on_tpu else 1
-        _mark("gen256: init (jitted)")
-        bench = gen_bench.build(on_tpu=on_tpu, dtype=jnp.bfloat16 if on_tpu else jnp.float32)
-        _mark("gen256: compile+warm")
-        float(bench.chain_fn(jnp.int32(10_000)))
-        best = None
-        for attempt in range(2):
-            _mark(f"gen256: timing pass {attempt + 1}")
-            t0 = time.perf_counter()
-            outs = [
-                bench.chain_fn(jnp.int32(attempt * 1000 + k * bench.chain)) for k in range(iters)
-            ]
-            float(outs[-1])
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        return {"gen256_images_per_sec": round(bench.batch * bench.chain * iters / best, 2)}
-    except Exception as e:  # noqa: BLE001 — primary metric must still print
-        _mark(f"gen bench failed: {type(e).__name__}: {e}")
-        return None
-
-
-def fid30k_pipeline(on_tpu: bool) -> dict | None:
-    """End-to-end FID wall-clock at COCO-30k scale (BASELINE.md's second
-    headline; reference hot loop fid_score.py:223-238).
-
-    Measures the production fast recipe end to end: per-batch dispatch (NO
-    fori chaining — the ~10 ms/dispatch tunnel tax is part of this pipeline,
-    unlike the tower metric), device-side resize 256->299 + normalize +
-    bf16 FastInception pool3, device-side streaming moments
-    (ops.stats.update_moments, the --streaming path), finalize + Newton-
-    Schulz frechet distance.  Host->device image upload is EXCLUDED: batches
-    are pre-staged on device and salt-xor-cycled (the axon tunnel's ~40 MB/s
-    lazy uploads with multi-minute stalls would otherwise measure only the
-    tunnel — a real TPU host feeds 256-px uint8 at PCIe rates, >5x what 6k
-    img/s needs; tools/ probes + ROADMAP.md document this).  The pipeline is
-    run TWICE and the faster pass reported: the tunnel intermittently adds
-    ~80 ms/dispatch to long dispatch chains (tools/dispatch_probe.py measures
-    the same 118-dispatch loop at a clean 27 ms standalone) — a transport
-    artifact, not a pipeline property.  Returns
-    {fid30k_wallclock_sec, fid30k_images_per_sec} or None on failure.
-    """
-    try:
-        from tise_tpu.backbones import inception_fast, inception_v3
-        from tise_tpu.ops import sqrtm as sqrtm_lib
-        from tise_tpu.ops import stats
-        from tise_tpu.ops.preprocess import resize_and_normalize
-
-        batch = 256 if on_tpu else 8
-        n_batches = 118 if on_tpu else 2  # 118*256 = 30208 ~ "30k"
-        pool_n = 4 if on_tpu else 2
-        src = 256 if on_tpu else 96
-        dtype = jnp.bfloat16 if on_tpu else jnp.float32
-
-        _mark("fid30k: init")
-        params = jax.jit(
-            lambda r: inception_v3.InceptionV3(num_classes=1000, dtype=dtype).init(
-                r, jnp.zeros((1, 299, 299, 3), dtype), endpoints=("logits",)
-            )
-        )(jax.random.PRNGKey(1))
-        fast = inception_fast.FastInception(
-            dtype=dtype, folded=jax.jit(lambda p: inception_fast.fold_tree(p, dtype))(params)
-        )
-
-        @jax.jit
-        def step(state, imgs_u8, salt):
-            x = resize_and_normalize(jnp.bitwise_xor(imgs_u8, salt), "fid", 299)
-            acts = fast(x.astype(dtype), endpoints=("pool3",))["pool3"].astype(jnp.float32)
-            return stats.update_moments(state, acts)
-
-        @jax.jit
-        def finish(sa, sb):
-            # finalize + frechet fused on device: ONE dispatch, ONE scalar
-            # pulled (the host-f64 finalize pulls two 2048^2 covariances
-            # through the ~40 MB/s tunnel and re-uploads them for the NS
-            # matmuls — measured as most of the old ~1 s tail)
-            return sqrtm_lib.frechet_distance_device(
-                *stats.finalize_moments_f32(sa), *stats.finalize_moments_f32(sb)
-            )
-
-        host = np.random.RandomState(7)
-        pool = [
-            jax.device_put(host.randint(0, 256, (batch, src, src, 3)).astype(np.uint8))
-            for _ in range(pool_n)
-        ]
-        touch = jax.jit(lambda x: jnp.sum(x, dtype=jnp.int32))
-        for p in pool:
-            int(touch(p))
-        _mark("fid30k: compile+warm")
-        warm = step(stats.init_moments(2048), pool[0], jnp.uint8(255))
-        float(finish(warm, warm))  # compile + sync both programs
-
-        half = n_batches // 2
-        n_imgs = 2 * half * batch
-        best = None
-        for attempt in range(2):
-            _mark(f"fid30k: timing (pass {attempt + 1})")
-            t0 = time.perf_counter()
-            states = []
-            for h in range(2):
-                s = stats.init_moments(2048)
-                for i in range(half):
-                    b = attempt * n_batches + h * half + i
-                    s = step(s, pool[b % pool_n], jnp.uint8(b % 255))
-                states.append(s)
-            fid = float(finish(states[0], states[1]))
-            dt = time.perf_counter() - t0
-            _mark(f"fid30k: {n_imgs} imgs in {dt:.2f}s (fid={fid:.4f})")
-            best = dt if best is None else min(best, dt)
-        return {
-            "fid30k_wallclock_sec": round(best, 2),
-            "fid30k_images_per_sec": round(n_imgs / best, 2),
-        }
-    except Exception as e:  # noqa: BLE001 — primary metric must still print
-        _mark(f"fid30k bench failed: {type(e).__name__}: {e}")
-        return None
-
-
-def main() -> None:
     from tise_tpu.backbones import clip_fast, clip_vit, inception_fast, inception_v3
+    from tise_tpu.ops.preprocess import normalize
 
-    on_tpu = jax.default_backend() not in ("cpu",)
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     batch = 256 if on_tpu else 8
     iters = 30 if on_tpu else 2
 
-    _mark(f"backend={jax.default_backend()} batch={batch}")
-    from tise_tpu.core import compile_cache
-
-    compile_cache.enable()  # persistent across bench runs
     inception = inception_v3.InceptionV3(num_classes=1000, dtype=dtype)
 
     rng = jax.random.PRNGKey(0)
@@ -359,8 +100,6 @@ def main() -> None:
     # CLIP patchify measured 6.7 ms SLOWER (XLA fusion regression around the
     # patch transpose) — CLIP keeps the external fused normalize
     _mark("folding fast-forward weights (jitted)")
-    from tise_tpu.ops.preprocess import normalize
-
     fast_inc = inception_fast.FastInception(
         dtype=dtype,
         folded=jax.jit(lambda p: inception_fast.fold_tree(p, dtype, input_recipe="fid"))(inc_params),
@@ -414,51 +153,406 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     images_per_sec = batch * chain * iters / dt
-    line = {
+    _mark(f"extract done: {images_per_sec:.1f} img/s")
+    return {
         "metric": "inception+clip_extraction_throughput",
         "value": round(images_per_sec, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 4),
     }
-    _mark(f"extract done: {images_per_sec:.1f} img/s; fid30k bench")
-    # drop the tower buffers/params before the pipeline benches — live HBM
-    # and the big prior executions otherwise perturb the tunnel's dispatch
-    # behavior for the runs that follow
-    # extract_one closes over fast_inc/fast_clip — without deleting it too,
-    # the folded tower weights stay live on device through the pipeline
-    # benches below and perturb their dispatch timing (ROADMAP rule)
-    del d299, d224, outs, inc_params, clip_params, fast_inc, fast_clip, extract, extract_one
-    fid_metrics = fid30k_pipeline(on_tpu)
-    if fid_metrics is not None:
-        line.update(fid_metrics)
-    _mark("detector bench")
-    det_ips = detector_images_per_sec(on_tpu)
-    if det_ips is not None:
-        line.update(det_ips)
-    _mark("generation bench")
-    gen_ips = generation_throughput(on_tpu)
-    if gen_ips is not None:
-        line.update(gen_ips)
-    # ---- sections shared with standalone tools (single copy lives there) ----
-    for tool, kwargs in (
-        # fused GAN train step at eval dims (VERDICT r4 #1; tools/train_bench.py)
-        ("train_bench", {"steps": 8 if on_tpu else 2}),
-        # ...and the bf16-frozen-encoder training knob (--encoder_precision fast)
-        ("train_bench", {"steps": 8 if on_tpu else 2, "encoder_precision": "fast",
-                         "key_prefix": "train_step_fast"}),
-        # RP bank+rank phases (VERDICT r4 #2; tools/rp_bench.py) — skip the
-        # per-item comparison line here (it re-measures the r2 design)
-        ("rp_bench", {"items": 5120 if on_tpu else 8, "batch": 256 if on_tpu else 4, "direct_batches": 0}),
-        # 448px counter forward + peak stimulation (VERDICT r4 #6;
-        # tools/ca_bench.py); f32 is the CA CLI's production default
-        ("ca_bench", {"dtypes": ("float32",) if on_tpu else ("float32", "bfloat16")}),
-    ):
-        _mark(f"{tool} section")
-        try:
-            line.update(_load_tool(tool).run(**kwargs))
-        except Exception as e:  # noqa: BLE001 — primary metric must still print
-            _mark(f"{tool} failed: {type(e).__name__}: {e}")
-    print(json.dumps(line))
+
+
+def detector_images_per_sec(on_tpu: bool) -> dict:
+    """Static-shape Faster R-CNN sweep throughput (the SOA/O-metrics hot loop:
+    80 labels x ~30k images is the reference's longest pipeline).  Measures
+    the production fast path: bf16 trunk/heads with f32 score/box epilogues
+    (bf16-vs-f32 detection equivalence tested, tests/test_detection.py), the
+    single-gather bin-major multilevel ROIAlign, per-line micro-batch (8
+    exact / 32 fast — the measured HBM/amortization optima, ROADMAP r4)
+    chained inside one dispatch via lax.map + fori_loop so the tunnel's
+    ~10 ms/dispatch tax amortizes like the extraction bench.  Random weights
+    — identical compute to the real sweep.  Lines:
+    ``detector_images_per_sec`` is the default config (roi_sampling=2, 1000
+    proposals — detectron2 test-time parity); ``detector_fast_images_per_sec``
+    is the opt-in sweep preset ``--roi-sampling 1 --proposals 256``
+    (bin-center ROIAlign sampling + post-NMS top-k cut; metric-level drift
+    bounds in tools/soa_drift.py + ROADMAP); ``soa_sweep_images_per_sec`` is
+    the production detect_files loop end to end."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tise_tpu.backbones.detection.predictor import PIXEL_MEAN_BGR
+    from tise_tpu.backbones.detection.rcnn import FasterRCNN
+
+    size = 800 if on_tpu else 128
+    batch = 64 if on_tpu else 2  # images staged once, re-chunked per line
+    chain = 2 if on_tpu else 1
+    iters = 4 if on_tpu else 1
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    _mark("detector: init (jitted)")
+    # micro-batch per line: the 800px convs carry a per-CALL cost only
+    # micro-batch amortizes (stem 1.03 -> 0.40 ms/img at mb32, tools/
+    # det_stem_probe.py); the fast preset fits mb32 in HBM, the exact
+    # p1000 path OOMs there and is gather-floored anyway (ROADMAP r4)
+    models = {
+        "detector_images_per_sec": (FasterRCNN(dtype=dtype, roi_sampling=2), 8 if on_tpu else 2),
+        "detector_fast_images_per_sec": (
+            FasterRCNN(dtype=dtype, roi_sampling=1, post_nms_topk=256),
+            32 if on_tpu else 2,
+        ),
+    }
+    params = jax.jit(
+        lambda r: models["detector_images_per_sec"][0].init(r, jnp.zeros((size, size, 3), dtype))
+    )(jax.random.PRNGKey(0))
+
+    host = np.random.RandomState(1)
+    imgs_flat = jax.device_put(host.randint(0, 256, (batch, size, size, 3)).astype(np.uint8))
+    int(jax.jit(lambda x: jnp.sum(x, dtype=jnp.int32))(imgs_flat))  # materialize upload
+    seeds = [jnp.uint8(i * chain) for i in range(iters + 1)]
+
+    out: dict = {}
+    for key, (model, mb) in models.items():
+
+        def single(p, img_u8, _m=model):
+            x = (img_u8.astype(jnp.float32) - jnp.asarray(PIXEL_MEAN_BGR)).astype(dtype)
+            return _m.apply(p, x)
+
+        @jax.jit
+        def fwd(p, imgs_u8, seed0, _single=single, _mb=mb):
+            # [batch, H, W, 3] -> [n_chunks, mb, H, W, 3]; per-rep seed
+            # xor defeats the tunnel's result cache without re-uploading
+            x4 = imgs_u8.reshape((-1, _mb) + imgs_u8.shape[1:])
+
+            def rep(i, acc):
+                x = jnp.bitwise_xor(x4, (seed0 + i).astype(jnp.uint8))
+                det = jax.lax.map(lambda ch: jax.vmap(_single, in_axes=(None, 0))(p, ch), x)
+                return acc + jnp.sum(det.scores.astype(jnp.float32))
+
+            return jax.lax.fori_loop(0, chain, rep, jnp.float32(0))
+
+        _mark(f"detector: compile+warm ({key}, mb={mb})")
+        float(fwd(params, imgs_flat, seeds[0]))  # compile + warm
+        # two passes, best reported — same transport artifact as the
+        # fid30k/sweep lines: the tunnel intermittently slows a whole
+        # dispatch chain ~2x (one observed 37 vs 86 img/s on this line)
+        best = None
+        for attempt in range(2):
+            _mark(f"detector: timing ({key}, pass {attempt + 1})")
+            t0 = time.perf_counter()
+            outs = [fwd(params, imgs_flat, (s + jnp.uint8(attempt * 101)).astype(jnp.uint8)) for s in seeds[1:]]
+            float(outs[-1])
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out[key] = round(batch * chain * iters / best, 2)
+
+    # ---- end-to-end sweep line: the production detect_files loop ----
+    # (reference SOA.py:86-90 / crop_object.py:29-33).  Per-batch dispatch
+    # with the sweep preset (bf16, roi_sampling=1, 256 proposals), ONE
+    # packed [B, D, 7] blocking pull per batch, 1-deep dispatch
+    # pipelining, and the per-image Python box collection — exactly what
+    # TPUDetector.detect_files does, with host decode excluded like
+    # fid30k (pre-staged uint8, salt-cycled to defeat the tunnel's
+    # result cache).  Two passes, best reported (transport artifact —
+    # see fid30k_pipeline docstring).
+    from tise_tpu.backbones.detection.coco_classes import COCO_CLASSES
+    from tise_tpu.backbones.detection.predictor import TPUDetector, pack_detections
+
+    fast_model, fast_mb = models["detector_fast_images_per_sec"]
+
+    def single_fast(p, img_u8):
+        x = (img_u8.astype(jnp.float32) - jnp.asarray(PIXEL_MEAN_BGR)).astype(dtype)
+        return fast_model.apply(p, x)
+
+    @jax.jit
+    def sweep_fwd(p, imgs_u8, salt):
+        x = jnp.bitwise_xor(imgs_u8.reshape((-1, fast_mb) + imgs_u8.shape[1:]), salt)
+        det = jax.lax.map(lambda ch: jax.vmap(single_fast, in_axes=(None, 0))(p, ch), x)
+        return pack_detections(det)
+
+    def collect(results, det_dev):
+        b, s, c, v = TPUDetector._unpack(det_dev)  # single blocking pull
+        for i in range(b.shape[0]):
+            names, ids, bxs = [], [], []
+            for j in range(b.shape[1]):
+                if not v[i, j]:
+                    continue
+                names.append(COCO_CLASSES[int(c[i, j])])
+                ids.append(int(c[i, j]))
+                bxs.append(b[i, j])
+            results.append((names, ids, bxs))
+
+    n_batches = 12 if on_tpu else 2
+    _mark("detector: sweep e2e compile+warm")
+    collect([], sweep_fwd(params, imgs_flat, jnp.uint8(255)))
+    best = None
+    for attempt in range(2):
+        _mark(f"detector: sweep e2e timing (pass {attempt + 1})")
+        results: list = []
+        inflight = None
+        t0 = time.perf_counter()
+        for bi in range(n_batches):
+            det = sweep_fwd(params, imgs_flat, jnp.uint8(1 + attempt * n_batches + bi))
+            if inflight is not None:
+                collect(results, inflight)
+            inflight = det
+        collect(results, inflight)
+        dt = time.perf_counter() - t0
+        assert len(results) == n_batches * batch
+        best = dt if best is None else min(best, dt)
+    out["soa_sweep_images_per_sec"] = round(n_batches * batch / best, 2)
+    return out
+
+
+def generation_throughput(on_tpu: bool) -> dict:
+    """Layer-L1 throughput: the full caption->image sampling pipeline (bi-LSTM
+    text encoder + CA_NET + 3-stage AttnGAN++ G forward) at the production
+    eval dims (GF_DIM=64, R_NUM=3 — cfg/eval_coco.yml), 256px finest scale,
+    eval mode, bf16.  The reference generates its 30k-80k evaluation images
+    at batch 10 per GPU (coco_gen_image_from_caption.py:177-203); this is the
+    TPU-native models/generate.py hot path.  Same tunnel rules as the other
+    sections: jitted init, salted chained reps per dispatch, best of two
+    passes.  Model setup + chain live in tise_tpu.models.gen_bench (shared
+    with tools/gen_bench.py, the standalone f32-vs-bf16 version)."""
+    import jax.numpy as jnp
+
+    from tise_tpu.models import gen_bench
+
+    iters = 4 if on_tpu else 1
+    _mark("gen256: init (jitted)")
+    bench = gen_bench.build(on_tpu=on_tpu, dtype=jnp.bfloat16 if on_tpu else jnp.float32)
+    _mark("gen256: compile+warm")
+    float(bench.chain_fn(jnp.int32(10_000)))
+    best = None
+    for attempt in range(2):
+        _mark(f"gen256: timing pass {attempt + 1}")
+        t0 = time.perf_counter()
+        outs = [
+            bench.chain_fn(jnp.int32(attempt * 1000 + k * bench.chain)) for k in range(iters)
+        ]
+        float(outs[-1])
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return {"gen256_images_per_sec": round(bench.batch * bench.chain * iters / best, 2)}
+
+
+def fid30k_pipeline(on_tpu: bool) -> dict:
+    """End-to-end FID wall-clock at COCO-30k scale (BASELINE.md's second
+    headline; reference hot loop fid_score.py:223-238).
+
+    Measures the production fast recipe end to end: per-batch dispatch (NO
+    fori chaining — the ~10 ms/dispatch tunnel tax is part of this pipeline,
+    unlike the tower metric), device-side resize 256->299 + normalize +
+    bf16 FastInception pool3, device-side streaming moments
+    (ops.stats.update_moments, the --streaming path), finalize + Newton-
+    Schulz frechet distance.  Host->device image upload is EXCLUDED: batches
+    are pre-staged on device and salt-xor-cycled (the axon tunnel's ~40 MB/s
+    lazy uploads with multi-minute stalls would otherwise measure only the
+    tunnel — a real TPU host feeds 256-px uint8 at PCIe rates, >5x what 6k
+    img/s needs; tools/ probes + ROADMAP.md document this).  The pipeline is
+    run TWICE and the faster pass reported: the tunnel intermittently adds
+    ~80 ms/dispatch to long dispatch chains (tools/dispatch_probe.py measures
+    the same 118-dispatch loop at a clean 27 ms standalone) — a transport
+    artifact, not a pipeline property.  Subprocess isolation doubles as the
+    quiet process this measurement needs (ROADMAP r3: big live buffers from
+    earlier sections slow the same loop 4-25x)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tise_tpu.backbones import inception_fast, inception_v3
+    from tise_tpu.ops import sqrtm as sqrtm_lib
+    from tise_tpu.ops import stats
+    from tise_tpu.ops.preprocess import resize_and_normalize
+
+    batch = 256 if on_tpu else 8
+    n_batches = 118 if on_tpu else 2  # 118*256 = 30208 ~ "30k"
+    pool_n = 4 if on_tpu else 2
+    src = 256 if on_tpu else 96
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+
+    _mark("fid30k: init")
+    params = jax.jit(
+        lambda r: inception_v3.InceptionV3(num_classes=1000, dtype=dtype).init(
+            r, jnp.zeros((1, 299, 299, 3), dtype), endpoints=("logits",)
+        )
+    )(jax.random.PRNGKey(1))
+    fast = inception_fast.FastInception(
+        dtype=dtype, folded=jax.jit(lambda p: inception_fast.fold_tree(p, dtype))(params)
+    )
+
+    @jax.jit
+    def step(state, imgs_u8, salt):
+        x = resize_and_normalize(jnp.bitwise_xor(imgs_u8, salt), "fid", 299)
+        acts = fast(x.astype(dtype), endpoints=("pool3",))["pool3"].astype(jnp.float32)
+        return stats.update_moments(state, acts)
+
+    @jax.jit
+    def finish(sa, sb):
+        # finalize + frechet fused on device: ONE dispatch, ONE scalar
+        # pulled (the host-f64 finalize pulls two 2048^2 covariances
+        # through the ~40 MB/s tunnel and re-uploads them for the NS
+        # matmuls — measured as most of the old ~1 s tail)
+        return sqrtm_lib.frechet_distance_device(
+            *stats.finalize_moments_f32(sa), *stats.finalize_moments_f32(sb)
+        )
+
+    host = np.random.RandomState(7)
+    pool = [
+        jax.device_put(host.randint(0, 256, (batch, src, src, 3)).astype(np.uint8))
+        for _ in range(pool_n)
+    ]
+    touch = jax.jit(lambda x: jnp.sum(x, dtype=jnp.int32))
+    for p in pool:
+        int(touch(p))
+    _mark("fid30k: compile+warm")
+    warm = step(stats.init_moments(2048), pool[0], jnp.uint8(255))
+    float(finish(warm, warm))  # compile + sync both programs
+
+    half = n_batches // 2
+    n_imgs = 2 * half * batch
+    best = None
+    for attempt in range(2):
+        _mark(f"fid30k: timing (pass {attempt + 1})")
+        t0 = time.perf_counter()
+        states = []
+        for h in range(2):
+            s = stats.init_moments(2048)
+            for i in range(half):
+                b = attempt * n_batches + h * half + i
+                s = step(s, pool[b % pool_n], jnp.uint8(b % 255))
+            states.append(s)
+        fid = float(finish(states[0], states[1]))
+        dt = time.perf_counter() - t0
+        _mark(f"fid30k: {n_imgs} imgs in {dt:.2f}s (fid={fid:.4f})")
+        best = dt if best is None else min(best, dt)
+    return {
+        "fid30k_wallclock_sec": round(best, 2),
+        "fid30k_images_per_sec": round(n_imgs / best, 2),
+    }
+
+
+# --------------------------------------------------------------------------
+# section registry + subprocess driver
+# --------------------------------------------------------------------------
+
+
+def _tpu_sections(on_tpu: bool) -> dict:
+    """name -> zero-arg callable returning this section's JSON fragment."""
+    return {
+        "extraction": lambda: extraction_throughput(on_tpu),
+        "fid30k": lambda: fid30k_pipeline(on_tpu),
+        "detector": lambda: detector_images_per_sec(on_tpu),
+        "gen256": lambda: generation_throughput(on_tpu),
+        # sections shared with standalone tools (single copy lives there):
+        # fused GAN train step at eval dims (tools/train_bench.py) ...
+        "train": lambda: _load_tool("train_bench").run(steps=8 if on_tpu else 2),
+        # ... and the bf16-frozen-encoder knob (--encoder_precision fast)
+        "train_fast": lambda: _load_tool("train_bench").run(
+            steps=8 if on_tpu else 2, encoder_precision="fast", key_prefix="train_step_fast"
+        ),
+        # RP bank+rank phases (tools/rp_bench.py) — skip the per-item
+        # comparison line (it re-measures the r2 design)
+        "rp": lambda: _load_tool("rp_bench").run(
+            items=5120 if on_tpu else 8, batch=256 if on_tpu else 4, direct_batches=0
+        ),
+        # 448px counter forward + peak stimulation (tools/ca_bench.py);
+        # f32 is the CA CLI's production default
+        "ca": lambda: _load_tool("ca_bench").run(
+            dtypes=("float32",) if on_tpu else ("float32", "bfloat16")
+        ),
+    }
+
+
+#: (attempts, per-attempt timeout sec) — extraction carries the primary
+#: metric and the cold-compile risk; everything else gets 2 tries.  A tunnel
+#: stall can run ~15 min (CLAUDE.md), so timeouts are generous but bounded:
+#: a hung section costs one attempt, not the artifact.
+_SECTION_BUDGET = {"extraction": (3, 2100)}
+_DEFAULT_BUDGET = (2, 1800)
+
+#: section order: primary metric first, then the pipeline lines
+_SECTION_ORDER = ("extraction", "fid30k", "detector", "gen256",
+                  "train", "train_fast", "rp", "ca")
+
+
+def run_section(name: str) -> None:
+    """Child-process entry: run one section, print its JSON fragment as the
+    last stdout line.  Exceptions propagate (exit != 0) so the parent
+    retries in a fresh process — a tunnel drop must not be swallowed."""
+    import tise_tpu  # noqa: F401  (sets AXON_JOURNAL_COMPACT=1 before backend init)
+    import jax
+
+    if os.environ.get("TISE_BENCH_CPU"):
+        # CPU smoke for the whole driver loop (the axon plugin ignores the
+        # JAX_PLATFORMS env var; the config key is authoritative — CLAUDE.md)
+        jax.config.update("jax_platforms", "cpu")
+
+    from tise_tpu.core import compile_cache
+
+    compile_cache.enable()  # persistent across bench runs and processes
+    on_tpu = jax.default_backend() not in ("cpu",)
+    _mark(f"section {name}: backend={jax.default_backend()}")
+    frag = _tpu_sections(on_tpu)[name]()
+    print(json.dumps(frag), flush=True)
+
+
+def drive(sections=_SECTION_ORDER) -> dict:
+    """Parent: run each section in an isolated subprocess with retry; merge
+    fragments into the single output line."""
+    line: dict = {}
+    for name in sections:
+        attempts, timeout = _SECTION_BUDGET.get(name, _DEFAULT_BUDGET)
+        for attempt in range(1, attempts + 1):
+            _mark(f"section {name}: attempt {attempt}/{attempts} (timeout {timeout}s)")
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--section", name],
+                    cwd=_REPO, stdout=subprocess.PIPE, stderr=None,  # stderr passes through
+                    timeout=timeout, text=True,
+                )
+            except subprocess.TimeoutExpired:
+                _mark(f"section {name}: attempt {attempt} timed out after {timeout}s")
+                continue
+            out_lines = [l for l in (proc.stdout or "").splitlines() if l.strip()]
+            if proc.returncode == 0 and out_lines:
+                try:
+                    frag = json.loads(out_lines[-1])
+                except json.JSONDecodeError:
+                    _mark(f"section {name}: unparseable fragment {out_lines[-1]!r}")
+                    continue
+                line.update(frag)
+                _mark(f"section {name}: ok {frag}")
+                break
+            _mark(f"section {name}: attempt {attempt} failed (rc={proc.returncode})")
+        else:
+            _mark(f"section {name}: FAILED after {attempts} attempts; continuing")
+    if "metric" not in line:
+        # the primary metric keys must exist even if extraction never ran
+        line = {
+            "metric": "inception+clip_extraction_throughput",
+            "value": 0.0,
+            "unit": "images/sec/chip",
+            "vs_baseline": 0.0,
+            **line,
+        }
+    return line
+
+
+def main() -> None:
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--section", type=str, default="",
+                   help="(internal) run ONE section in-process and print its fragment")
+    p.add_argument("--only", type=str, default="",
+                   help="comma-separated subset of sections for the driver loop")
+    args = p.parse_args()
+    if args.section:
+        run_section(args.section)
+        return
+    sections = tuple(s.strip() for s in args.only.split(",")) if args.only else _SECTION_ORDER
+    print(json.dumps(drive(sections)))
 
 
 if __name__ == "__main__":
