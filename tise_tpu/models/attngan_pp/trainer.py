@@ -153,7 +153,12 @@ def make_train_step(cfg: TrainConfig, models: Models, ablate: frozenset = frozen
     {"d_updates", "g_update", "damsm", "ema"} skips that section (XLA then
     dead-code-eliminates its compute — whole-program ablation, the only
     timing methodology that survives XLA fusion; see ROADMAP measurement
-    rules).  Production callers pass nothing."""
+    rules).  Two finer sections split the G update's interior (VERDICT r4
+    weak #3): "g_backward" stops after the head gradients (skips the vjp
+    pullback through G and the optimizer; the head grads are kept alive via
+    a metrics probe so XLA cannot DCE the head backward), "g_opt" stops
+    after the full G gradient (skips only the Adam update).  Production
+    callers pass nothing."""
     g_tx = optax.adam(cfg.g_lr, b1=cfg.beta1, b2=cfg.beta2)
     d_tx = optax.adam(cfg.d_lr, b1=cfg.beta1, b2=cfg.beta2)
     scales = SCALES[: cfg.gan.branch_num]
@@ -260,13 +265,22 @@ def make_train_step(cfg: TrainConfig, models: Models, ablate: frozenset = frozen
             total = total + w_loss + s_loss + kl
             return total, (w_loss, s_loss, kl)
 
+        ablate_probe = jnp.float32(0.0)  # keeps ablated-dead grads alive (see docstring)
         if do_g:
             (g_loss, (w_loss, s_loss, kl)), head_grads = jax.value_and_grad(
                 head_loss, argnums=(0, 1, 2), has_aux=True
             )(fakes, mu, logvar)
-            (g_grads,) = g_vjp(head_grads)
-            g_updates, new_g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
-            new_g_params = optax.apply_updates(state.g_params, g_updates)
+            if "g_backward" in ablate:
+                ablate_probe = sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(head_grads))
+                new_g_params, new_g_opt = state.g_params, state.g_opt
+            else:
+                (g_grads,) = g_vjp(head_grads)
+                if "g_opt" in ablate:
+                    ablate_probe = sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(g_grads))
+                    new_g_params, new_g_opt = state.g_params, state.g_opt
+                else:
+                    g_updates, new_g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
+                    new_g_params = optax.apply_updates(state.g_params, g_updates)
         else:
             g_loss = w_loss = s_loss = kl = jnp.float32(0.0)
             new_g_params, new_g_opt = state.g_params, state.g_opt
@@ -286,6 +300,8 @@ def make_train_step(cfg: TrainConfig, models: Models, ablate: frozenset = frozen
             "kl_loss": kl,
             **d_metrics,
         }
+        if ablate:
+            metrics["ablate_probe"] = ablate_probe  # an OUTPUT — XLA keeps it
         new_state = state.replace(
             step=state.step + 1,
             g_params=new_g_params,

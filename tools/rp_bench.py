@@ -117,11 +117,18 @@ def run(*, items: int = 10240, batch: int = 256, direct_batches: int = 2) -> dic
     for attempt in range(2):
         _mark(f"rank: timing pass {attempt + 1} ({n_batches} batches)")
         succ = 0
+        inflight = None
         t0 = time.perf_counter()
+        # 1-deep in-flight window, exactly like score_items (r5): the device
+        # ranks batch k+1 while the host pulls batch k — the blocking pull's
+        # ~28 ms RTT otherwise serializes with compute (tools/rp_rank_ablate)
         for bi in range(n_batches):
             lo = fwd(params, imgs, bank, idx_dev[bi * batch : (bi + 1) * batch],
                      jnp.uint8(1 + attempt * n_batches + bi))
-            succ += int(np.sum(np.argmax(np.asarray(lo), axis=1) == 0))
+            if inflight is not None:
+                succ += int(np.sum(np.argmax(np.asarray(inflight), axis=1) == 0))
+            inflight = lo
+        succ += int(np.sum(np.argmax(np.asarray(inflight), axis=1) == 0))
         dt = time.perf_counter() - t0
         _mark(f"rank: {n_batches * batch} items in {dt:.2f}s (succ={succ})")
         best_rank = dt if best_rank is None else min(best_rank, dt)

@@ -52,6 +52,11 @@ VARIANTS = (
     ("no_g", frozenset({"g_update"})),
     ("d_only", frozenset({"g_update", "ema"})),
     ("fwd_only", frozenset({"d_updates", "g_update", "ema"})),
+    # G-update interior split (VERDICT r4 weak #3): stop after the head
+    # gradients / after the full G gradient (grads kept alive by a metrics
+    # probe in make_train_step so XLA can't DCE the work being timed)
+    ("no_g_backward", frozenset({"g_backward"})),
+    ("no_g_opt", frozenset({"g_opt"})),
 )
 
 
@@ -96,6 +101,13 @@ def run(*, steps: int = 8, batch: int = 64) -> dict:
         "damsm_ms": times["full"] - times["no_damsm"],
         "ema_ms": times["full"] - times["no_ema"],
         "full_ms": times["full"],
+        # interior of the G update: head fwd+bwd (3-scale D features + DAMSM
+        # + KL, differentiated w.r.t. G outputs), the vjp pullback through G,
+        # and the Adam update
+        "g_backward_plus_opt_ms": times["full"] - times["no_g_backward"],
+        "g_opt_ms": times["full"] - times["no_g_opt"],
+        "g_backward_ms": times["no_g_opt"] - times["no_g_backward"],
+        "g_head_fwd_bwd_ms": times["no_g_backward"] - times["no_g"],
     }
     return {"times_ms": {k: round(v, 1) for k, v in times.items()},
             "buckets_ms": {k: round(v, 1) for k, v in buckets.items()}}
