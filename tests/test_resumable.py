@@ -228,6 +228,44 @@ class TestCropResume:
         assert sorted(f for f in os.listdir(dest)) == oracle
 
 
+class TestSoaSweepReset:
+    def test_soa_drop_resets_and_continues(self, tmp_path, monkeypatch):
+        """One soa invocation rides through a transport drop: the current
+        label retries after a backend reset + detector rebuild; already-
+        written per-label pickles are untouched."""
+        from tise_tpu.metrics import soa
+
+        root = tmp_path / "images"
+        rng = np.random.RandomState(0)
+        for lbl in ("label_00", "label_01", "label_02"):
+            d = root / lbl
+            os.makedirs(d)
+            for i in range(2):
+                Image.fromarray(rng.randint(0, 256, (32, 32, 3)).astype(np.uint8)).save(
+                    d / f"{i}_2.png"
+                )
+        monkeypatch.setattr(backend_lib, "reset_backend", lambda: None)
+
+        def stub(files):
+            return {f: (["dog"], [16], [np.array([1, 1, 9, 9], np.float32)]) for f in files}
+
+        calls = {"n": 0}
+
+        def flaky(files):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise RuntimeError("UNAVAILABLE: injected drop")
+            return stub(files)
+
+        out = str(tmp_path / "det")
+        soa.run_detection(str(root), out, flaky, expect_folders=3, build_detector=lambda: stub)
+        assert sorted(f for f in os.listdir(out) if f.startswith("detected_")) == [
+            "detected_label_00.pkl", "detected_label_01.pkl", "detected_label_02.pkl"
+        ]
+        sc, si, _, _ = soa.calc_soa(out, "", write=False)
+        assert sc == 0.0 and si == 0.0  # stub detects class 16 != labels 0-2
+
+
 class TestRpSnapshot:
     def _world(self, tmp_path, n=20):
         import sys

@@ -53,8 +53,16 @@ def run_detection(
     detector: DetectorFn,
     *,
     expect_folders: int = 80,
+    build_detector=None,
+    max_resets: int = 2,
 ) -> None:
-    """Stage 1: per-label detection sweeps with resume (SOA.py:45-107)."""
+    """Stage 1: per-label detection sweeps with resume (SOA.py:45-107).
+
+    Per-label pickles are the reference's own resume convention
+    (SOA.py:77-79): a killed process repays at most one label on re-run.
+    ``build_detector`` adds the in-process half (r5): on a transport drop
+    the backend resets (core/backend.py), the engine rebuilds, and the
+    current label retries — one soa invocation rides through drops."""
     dirs = [d for d in sorted(os.listdir(images_root)) if os.path.isdir(os.path.join(images_root, d))]
     if len(dirs) != expect_folders:
         print(
@@ -62,12 +70,14 @@ def run_detection(
             "results will not be conclusive."
         )
     os.makedirs(detected_dir, exist_ok=True)
+    from tise_tpu.core.backend import is_backend_drop, reset_backend
     from tise_tpu.parallel import multihost
 
     # multi-host: label folders shard across processes (each on its local
     # mesh, pickles land on the shared FS); the barrier below makes stage 2
     # see every pickle regardless of which process wrote it
     dirs, _ = multihost.shard_items(dirs)
+    resets = 0
     for d in dirs:
         out_pkl = os.path.join(detected_dir, f"detected_{d}.pkl")
         if os.path.isfile(out_pkl):
@@ -75,7 +85,18 @@ def run_detection(
             continue
         folder = os.path.join(images_root, d)
         files = [os.path.join(folder, f) for f in sorted(os.listdir(folder))]
-        preds = detector(files)
+        while True:
+            try:
+                preds = detector(files)
+                break
+            except Exception as e:  # noqa: BLE001 — filtered to transport errors below
+                if build_detector is None or resets >= max_resets or not is_backend_drop(e):
+                    raise
+                resets += 1
+                print(f"[soa] backend drop on {d} ({e}); reset {resets}/{max_resets}",
+                      flush=True)
+                reset_backend()
+                detector = build_detector()
         output: Dict[str, Detections] = {}
         for path, det in preds.items():
             names, ids, boxes = det
@@ -173,11 +194,11 @@ def main(argv=None) -> None:
     if not args.skip_detection:
         from tise_tpu.backbones.detection import predictor as det
 
-        detector = det.make_folder_detector(
+        build = lambda: det.make_folder_detector(  # noqa: E731 — rebuilt after a backend reset
             args.weights, aspect_resize=args.aspect_resize, precision=args.precision,
             roi_sampling=args.roi_sampling, proposals=args.proposals,
         )
-        run_detection(args.images, args.detected_results, detector)
+        run_detection(args.images, args.detected_results, build(), build_detector=build)
     from tise_tpu.parallel import multihost
 
     calc_soa(args.detected_results, args.saved_file, write=multihost.process_index() == 0)
