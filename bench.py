@@ -497,13 +497,50 @@ def run_section(name: str) -> None:
     print(json.dumps(frag), flush=True)
 
 
+def _tunnel_alive(timeout: int = 300) -> bool:
+    """Probe the TPU backend in a throwaway subprocess (a dead in-process
+    backend cannot recover, so liveness must be tested out-of-process)."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import tise_tpu, jax; print(len(jax.devices()))"],
+            cwd=_REPO, timeout=timeout, capture_output=True,
+        )
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _wait_for_tunnel(max_wait: float, poll: float = 120.0) -> bool:
+    """Probe-and-sleep until the tunnel answers or the budget runs out.
+    Outages here have run >90 min (observed); burning section attempts on a
+    dead tunnel wastes the whole artifact, waiting converts outage time into
+    bounded probing."""
+    if os.environ.get("TISE_BENCH_CPU"):
+        return True
+    deadline = time.monotonic() + max_wait
+    while True:
+        t0 = time.monotonic()
+        if _tunnel_alive():
+            return True
+        if time.monotonic() >= deadline:
+            _mark(f"tunnel still down after {max_wait:.0f}s wait budget; proceeding anyway")
+            return False
+        _mark("tunnel down; waiting")
+        time.sleep(max(0.0, poll - (time.monotonic() - t0)))
+
+
 def drive(sections=_SECTION_ORDER) -> dict:
     """Parent: run each section in an isolated subprocess with retry; merge
     fragments into the single output line."""
     line: dict = {}
+    _wait_for_tunnel(max_wait=float(os.environ.get("TISE_BENCH_TUNNEL_WAIT", 5400)))
     for name in sections:
         attempts, timeout = _SECTION_BUDGET.get(name, _DEFAULT_BUDGET)
         for attempt in range(1, attempts + 1):
+            if attempt > 1:
+                # a failed attempt usually means the tunnel dropped mid-section;
+                # don't spend the retry until the backend answers again
+                _wait_for_tunnel(max_wait=1800)
             _mark(f"section {name}: attempt {attempt}/{attempts} (timeout {timeout}s)")
             try:
                 proc = subprocess.run(
