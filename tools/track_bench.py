@@ -263,8 +263,107 @@ def _synth_detectron2_sd(rng) -> dict:
     return sd
 
 
+def build_cub_layout(root: str, *, flat: int, img_size: int = 256,
+                     pool_n: int = 512) -> dict:
+    """Build (idempotently) the synthetic CUB track layout (README.md:178-243:
+    the CUB track is FID + IS*(slim 50-class) + RP(DAMSM) over ~30k generated
+    bird images; the reference's RP_cub legacy binning assumes exactly 30000
+    items, RP_cub.py:153-156)."""
+    from tise_tpu import benchmark
+    from tise_tpu.core import weights as wio
+
+    spec = dict(track="cub", flat=flat, size=img_size)
+    marker = os.path.join(root, "layout.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if json.load(f) == spec:
+                _mark("layout: reusing existing")
+                return spec
+        shutil.rmtree(root)
+    os.makedirs(root, exist_ok=True)
+
+    _mark(f"layout: image pool ({pool_n} unique {img_size}px PNGs)")
+    pool = _write_image_pool(os.path.join(root, "pool"), pool_n, img_size, seed=0)
+    ids = list(range(flat))
+    _mark(f"layout: flat dir ({flat} images)")
+    _fill_folder(os.path.join(root, "gen"), ids, pool)
+
+    data = os.path.join(root, "data")
+
+    def put(key, obj):
+        path = os.path.join(data, benchmark.DATA[key])
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "wb") as f:
+            pickle.dump(obj, f)
+
+    _mark("layout: caption pickles (DAMSM vocab)")
+    rng = np.random.RandomState(0)
+    colors = ["red", "blue", "black", "white", "brown", "grey", "yellow", "green"]
+    parts = ["wing", "tail", "beak", "breast", "crown", "belly", "throat", "eye"]
+    vocab = ["<end>", "this", "bird", "has", "a", "and", "with", "small", "large"] + colors + parts
+    ixtoword = dict(enumerate(vocab))
+    wordtoix = {w: i for i, w in ixtoword.items()}
+    put("cub_captions_pickle", [None, None, ixtoword, wordtoix])
+
+    def cap(r):
+        return (f"this bird has a {colors[r % 8]} {parts[(r // 8) % 8]} and a "
+                f"{colors[(r // 64) % 8]} {parts[(r // 512) % 8]}")
+
+    # captions repeat across items like the real CUB_RP_captions.pkl (the
+    # mismatched set is sampled from other items' captions)
+    pool_caps = [cap(r) for r in rng.randint(0, 4096, flat)]
+    put("cub_rp_captions", [
+        {"caption_id": i, "caption": pool_caps[i],
+         "mismatched_captions": [pool_caps[j] for j in rng.randint(0, flat, 99)]}
+        for i in ids
+    ])
+
+    _mark("layout: reference stats npz")
+    a = rng.randn(2048, 64)
+    sigma = (a @ a.T / 64 + np.eye(2048)).astype(np.float64)
+    path = os.path.join(data, benchmark.DATA["cub_fid_stats"])
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    np.savez(path, mu=rng.randn(2048), sigma=sigma)
+
+    _mark("layout: weights (random init)")
+    import jax
+
+    from tf_slim_ref import random_slim_vars
+
+    from tise_tpu.backbones import damsm, inception_v3
+
+    weights = os.path.join(root, "weights")
+
+    def wpath(key, npz=True):
+        rel = benchmark.WEIGHTS[key]
+        if npz:
+            rel = os.path.splitext(rel)[0] + ".npz"
+        path = os.path.join(weights, rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        return path
+
+    k = jax.random.PRNGKey(0)
+    wio.save_pytree_npz(wpath("inception"), inception_v3.random_params(k))
+    np.savez(wpath("inception_cub"), **random_slim_vars(0, 51))
+    caps = np.zeros((2, 8), np.int32)
+    wio.save_pytree_npz(
+        wpath("damsm_text"),
+        damsm.RNNEncoder(ntoken=len(vocab)).init(k, caps, np.full((2,), 8)),
+    )
+    wio.save_pytree_npz(
+        wpath("damsm_image"),
+        damsm.CNNEncoder().init(k, np.zeros((1, 64, 64, 3), np.float32)),
+    )
+
+    with open(marker, "w") as f:
+        json.dump(spec, f)
+    _mark("layout: done")
+    return spec
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
+    p.add_argument("--track", choices=("coco", "cub"), default="coco")
     p.add_argument("--root", type=str, default="/tmp/track30k")
     p.add_argument("--flat", type=int, default=30208)
     p.add_argument("--soa-per-label", type=int, default=376)
@@ -279,6 +378,11 @@ def main() -> None:
     p.add_argument("--smoke", action="store_true", help="tiny CPU-size layout + CPU run")
     p.add_argument("--build-only", action="store_true", help="(internal) build the layout on CPU and exit")
     args = p.parse_args()
+    if args.track == "cub":
+        if args.flat == 30208:
+            args.flat = 30000  # the legacy-binning scale (RP_cub.py:153-156)
+        if args.root == "/tmp/track30k":
+            args.root = "/tmp/trackcub30k"
     if args.smoke:
         args.flat, args.soa_per_label, args.pa_per_phrase, args.ca = 24, 2, 3, 8
         args.batch_size = 4
@@ -287,14 +391,17 @@ def main() -> None:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        build_layout(args.root, flat=args.flat, soa_per_label=args.soa_per_label,
-                     pa_per_phrase=args.pa_per_phrase, ca_items=args.ca)
+        if args.track == "cub":
+            build_cub_layout(args.root, flat=args.flat)
+        else:
+            build_layout(args.root, flat=args.flat, soa_per_label=args.soa_per_label,
+                         pa_per_phrase=args.pa_per_phrase, ca_items=args.ca)
         return
 
     import subprocess
 
     build_args = [sys.executable, os.path.abspath(__file__), "--build-only",
-                  "--root", args.root, "--flat", str(args.flat),
+                  "--track", args.track, "--root", args.root, "--flat", str(args.flat),
                   "--soa-per-label", str(args.soa_per_label),
                   "--pa-per-phrase", str(args.pa_per_phrase), "--ca", str(args.ca)]
     subprocess.run(build_args, check=True)
@@ -307,16 +414,20 @@ def main() -> None:
 
     out = os.path.join(args.root, "results")
     argv = [
-        "--track", "coco", "--method_name", "synthetic30k",
+        "--track", args.track, "--method_name", "synthetic30k",
         "--images", os.path.join(args.root, "gen"),
-        "--soa_images", os.path.join(args.root, "soa"),
-        "--pa_images", os.path.join(args.root, "pa"),
         "--data_root", os.path.join(args.root, "data"),
         "--weights_root", os.path.join(args.root, "weights"),
         "--output_root", out,
-        "--precision", "fast", "--roi-sampling", "1", "--proposals", "256",
+        "--precision", "fast",
         "--batch_size", str(args.batch_size),
     ]
+    if args.track == "coco":
+        argv += [
+            "--soa_images", os.path.join(args.root, "soa"),
+            "--pa_images", os.path.join(args.root, "pa"),
+            "--roi-sampling", "1", "--proposals", "256",
+        ]
     if args.only:
         argv += ["--only", args.only]
     if args.skip:
@@ -329,9 +440,12 @@ def main() -> None:
     total = time.perf_counter() - t0
     with open(os.path.join(out, "synthetic30k", "timings.json")) as f:
         timings = json.load(f)
+    n_images = args.flat
+    if args.track == "coco":
+        n_images += 80 * args.soa_per_label + 6 * args.pa_per_phrase
     print(json.dumps({
         "track_wallclock_sec": round(total, 2),
-        "track_images": args.flat + 80 * args.soa_per_label + 6 * args.pa_per_phrase,
+        "track_images": n_images,
         "stages_sec": timings,
         "values": values,
     }))
