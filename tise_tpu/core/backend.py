@@ -39,18 +39,46 @@ def is_backend_drop(e: BaseException) -> bool:
     )
 
 
-def reset_backend() -> None:
-    """Best-effort in-process backend re-initialisation.
+def reset_backend(max_wait_s: float | None = None) -> None:
+    """In-process backend re-initialisation that WAITS for the platform.
 
     Clears jax's compiled-executable caches and the backend-client registry,
     then touches ``jax.devices()`` to force the platform factory to run again
-    (a fresh tunnel connection for the axon platform).  Raises whatever the
-    re-initialisation raises if the platform cannot come back — callers fall
-    back to process-level resume (their snapshot survives on disk).
+    (a fresh tunnel connection for the axon platform) and verifies it with a
+    real device round trip.  Observed tunnel outages last minutes (a 30k
+    track run lost 4 stages to a ~4-minute drop because the immediate
+    re-connect either failed or dropped again, burning every retry in
+    seconds), so a failed re-init is retried with backoff until
+    ``max_wait_s`` (default: ``TISE_RESET_WAIT_S`` env var or 600 s) elapses;
+    only then does the last error propagate — callers fall back to
+    process-level resume (their snapshot survives on disk).
     """
+    import os
+    import time
+
     import jax
+    import numpy as np
     from jax._src import xla_bridge
 
-    jax.clear_caches()
-    xla_bridge._clear_backends()  # noqa: SLF001 — no public API for this
-    jax.devices()
+    if max_wait_s is None:
+        max_wait_s = float(os.environ.get("TISE_RESET_WAIT_S", "600"))
+    deadline = time.monotonic() + max_wait_s
+    delay = 15.0
+    while True:
+        try:
+            jax.clear_caches()
+            xla_bridge._clear_backends()  # noqa: SLF001 — no public API for this
+            jax.devices()
+            # verify with a real round trip (init can succeed lazily while
+            # the transport is still down)
+            x = jax.device_put(np.ones((8,), np.float32))
+            if float(jax.numpy.sum(x)) != 8.0:
+                raise RuntimeError("backend probe returned a wrong value")
+            return
+        except Exception as e:  # noqa: BLE001 — transport errors vary by layer
+            if time.monotonic() >= deadline:
+                raise
+            print(f"[backend] reset probe failed ({type(e).__name__}: {e}); "
+                  f"retrying in {delay:.0f}s", flush=True)
+            time.sleep(delay)
+            delay = min(delay * 1.5, 60.0)
