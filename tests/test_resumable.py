@@ -343,3 +343,159 @@ class TestRpSnapshot:
         np.testing.assert_array_equal(got, oracle)
         assert PipelinedScorer.pulls > 2  # the pipelined branch actually ran
         assert not os.path.exists(snap)
+
+
+class TestPaSnapshot:
+    def _world(self, tmp_path):
+        import sys
+
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from test_metric_logic import _StubScorer, _StubTokenizer, _write_indexed_images
+
+        data = {
+            "left": [{"caption_id": i, "caption": "c", "false_caption": "f"} for i in range(4)],
+            "right": [{"caption_id": i, "caption": "c", "false_caption": "f"} for i in range(4, 6)],
+            "above": [{"caption_id": i, "caption": "c", "false_caption": "f"} for i in range(6, 9)],
+        }
+        img_dir = tmp_path / "imgs"
+        for phrase in data:
+            _write_indexed_images(str(img_dir / phrase), [it["caption_id"] for it in data[phrase]])
+        return data, str(img_dir), _StubScorer, _StubTokenizer
+
+    def test_pa_drop_resets_and_reruns_phrase(self, tmp_path, monkeypatch):
+        from tise_tpu.metrics import pa as pa_metric
+
+        data, img_dir, Scorer, Tok = self._world(tmp_path)
+        oracle, oracle_res = pa_metric.compute_pa(data, img_dir, Scorer(), Tok(), batch_size=3)
+
+        monkeypatch.setattr(backend_lib, "reset_backend", lambda: None)
+        snap = str(tmp_path / "pa.snapshot.npz")
+
+        class FlakyScorer(Scorer):
+            calls = 0
+            blown = False
+
+            def logits(self, images, tokens):
+                FlakyScorer.calls += 1
+                if FlakyScorer.calls == 3 and not FlakyScorer.blown:
+                    FlakyScorer.blown = True  # mid-'right' (after left's 2 batches)
+                    raise RuntimeError("UNAVAILABLE: injected drop")
+                return super().logits(images, tokens)
+
+        got, got_res = pa_metric.compute_pa(
+            data, img_dir, FlakyScorer(), Tok(), batch_size=3,
+            snapshot_path=snap, build_scorer=FlakyScorer,
+        )
+        assert got == oracle and got_res == oracle_res
+        assert not os.path.exists(snap)
+
+    def test_pa_process_level_resume_skips_done_phrases(self, tmp_path):
+        from tise_tpu.metrics import pa as pa_metric
+
+        data, img_dir, Scorer, Tok = self._world(tmp_path)
+        oracle, oracle_res = pa_metric.compute_pa(data, img_dir, Scorer(), Tok(), batch_size=3)
+        snap = str(tmp_path / "pa.snapshot.npz")
+
+        class DiesInAbove(Scorer):
+            def logits(self, images, tokens):
+                if int(images[0, 0, 0, 0]) >= 6:  # first 'above' item
+                    raise RuntimeError("UNAVAILABLE: injected kill")
+                return super().logits(images, tokens)
+
+        # build_scorer=None: in-process recovery unavailable -> propagates,
+        # but the completed phrases survive in the snapshot
+        with pytest.raises(RuntimeError, match="UNAVAILABLE"):
+            pa_metric.compute_pa(
+                data, img_dir, DiesInAbove(), Tok(), batch_size=3, snapshot_path=snap,
+            )
+        assert os.path.exists(snap)
+
+        class Counting(Scorer):
+            phrases_seen = set()
+
+            def logits(self, images, tokens):
+                Counting.phrases_seen.add(int(images[0, 0, 0, 0]))
+                return super().logits(images, tokens)
+
+        got, got_res = pa_metric.compute_pa(
+            data, img_dir, Counting(), Tok(), batch_size=3, snapshot_path=snap,
+        )
+        assert got == oracle and got_res == oracle_res
+        assert Counting.phrases_seen == {6}  # only 'above' re-ran
+        assert not os.path.exists(snap)
+
+
+class TestCaSnapshot:
+    class _StubEngine:
+        """Deterministic counter stand-in: predicts {dog: idx%3} from the
+        image's first pixel (constant images survive the 448px resize)."""
+
+        calls = 0
+
+        def count_batch(self, images):
+            TestCaSnapshot._StubEngine.calls += 1
+            return [{"dog": float(int(images[i, 0, 0, 0]) % 3)} for i in range(images.shape[0])]
+
+    def _world(self, tmp_path, n=12):
+        import sys
+
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from test_metric_logic import _write_indexed_images
+
+        data = [
+            {"caption_id": i, "counting_info": {"dog": 2.0, "cat": 1.0}} for i in range(n)
+        ]
+        img_dir = str(tmp_path / "imgs")
+        _write_indexed_images(img_dir, range(n), size=32)
+        return data, img_dir
+
+    def test_ca_snapshot_parity_after_drop(self, tmp_path, monkeypatch):
+        from tise_tpu.metrics import ca as ca_metric
+
+        data, img_dir = self._world(tmp_path)
+        oracle = ca_metric.compute_ca(data, img_dir, self._StubEngine(), batch_size=4)
+
+        monkeypatch.setattr(backend_lib, "reset_backend", lambda: None)
+        snap = str(tmp_path / "ca.snapshot.npz")
+        fuse = {}
+
+        class Flaky(self._StubEngine):
+            def count_batch(self, images):
+                if not fuse.get("blown") and int(images[0, 0, 0, 0]) == 8:
+                    fuse["blown"] = True  # 3rd batch: after one snapshot (every 8)
+                    raise RuntimeError("UNAVAILABLE: injected drop")
+                return super().count_batch(images)
+
+        got = ca_metric.compute_ca(
+            data, img_dir, Flaky(), batch_size=4,
+            snapshot_path=snap, build_engine=Flaky, snapshot_every=8,
+        )
+        assert got == oracle
+        assert not os.path.exists(snap)
+
+    def test_ca_process_level_resume(self, tmp_path):
+        from tise_tpu.metrics import ca as ca_metric
+
+        data, img_dir = self._world(tmp_path)
+        oracle = ca_metric.compute_ca(data, img_dir, self._StubEngine(), batch_size=4)
+        snap = str(tmp_path / "ca.snapshot.npz")
+
+        class Dies(self._StubEngine):
+            def count_batch(self, images):
+                if int(images[0, 0, 0, 0]) == 8:
+                    raise RuntimeError("UNAVAILABLE: injected kill")
+                return super().count_batch(images)
+
+        with pytest.raises(RuntimeError, match="UNAVAILABLE"):
+            ca_metric.compute_ca(
+                data, img_dir, Dies(), batch_size=4, snapshot_path=snap, snapshot_every=8,
+            )
+        assert os.path.exists(snap)
+
+        calls_before = self._StubEngine.calls
+        got = ca_metric.compute_ca(
+            data, img_dir, self._StubEngine(), batch_size=4, snapshot_path=snap, snapshot_every=8,
+        )
+        assert got == oracle
+        assert self._StubEngine.calls - calls_before == 1  # resumed at the cursor
+        assert not os.path.exists(snap)

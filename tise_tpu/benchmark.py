@@ -228,7 +228,8 @@ def _coco_plan(args, out: str) -> Plan:
             lambda: pa.main(
                 ["--image_dir", args.pa_images, "--pa_input_file", d("pa_captions"),
                  "--saved_file_path", txt("pa"), "--weights", w("clip"),
-                 "--bpe_path", w("clip_bpe")] + prec + bs_u
+                 "--bpe_path", w("clip_bpe"),
+                 "--snapshot_file", os.path.join(out, "pa.snapshot.npz")] + prec + bs_u
             ),
             lambda: {"PA": result_io.read_pa_result(txt("pa")) * 100},
             result=txt("pa"),
@@ -240,7 +241,8 @@ def _coco_plan(args, out: str) -> Plan:
             [args.images, d("ca_captions"), w("counter")],
             lambda: ca.main(
                 ["--image_dir", args.images, "--ct_input_file", d("ca_captions"),
-                 "--result_file", txt("ca"), "--weights", w("counter")] + prec + bs_u
+                 "--result_file", txt("ca"), "--weights", w("counter"),
+                 "--snapshot_file", os.path.join(out, "ca.snapshot.npz")] + prec + bs_u
             ),
             lambda: {"CA": result_io.read_ca_result(txt("ca"))},
             result=txt("ca"),

@@ -90,27 +90,78 @@ def compute_ca(
     *,
     batch_size: int = 32,
     num_workers: int = 8,
+    snapshot_path: str = "",
+    build_engine=None,
+    snapshot_every: int = 0,
 ) -> float:
+    """Per-item RMSEs are a PREFIX of the (sharded) item order, so the loop
+    is drop-tolerant exactly like RP's (rp_coco.score_items): periodic
+    rmse-rows+cursor snapshots, in-process backend reset + engine rebuild on
+    a transport drop, process-level resume from the snapshot file."""
+    from tise_tpu.metrics import extractor as ext
     from tise_tpu.parallel import multihost
+
+    if snapshot_path and multihost.is_distributed():
+        raise NotImplementedError(
+            "CA snapshots are single-process; multi-host runs shard items instead"
+        )
 
     n = len(counting_data)
     sel, gidx = multihost.shard_items(list(range(n)))
-    local = np.zeros(len(sel))
-    with ThreadPoolExecutor(max_workers=num_workers) as pool:
-        for start in range(0, len(sel), batch_size):
-            chunk = sel[start : start + batch_size]
-            imgs = list(
-                pool.map(
-                    lambda i: load_image(
-                        os.path.join(image_dir, f"{counting_data[i]['caption_id']}.png"),
-                        (IMAGE_SIZE, IMAGE_SIZE),
-                    ),
-                    chunk,
-                )
-            )
-            preds = engine.count_batch(np.stack(imgs))
-            for j, i in enumerate(chunk):
-                local[start + j] = rmse_for_item(preds[j], counting_data[i]["counting_info"])
+    fp = ""
+    chunks: Dict[str, list] = {}
+    cursor = 0
+    snapshot_every = snapshot_every or max(batch_size * 8, 256)
+    if snapshot_path:
+        fp = ext._snapshot_fingerprint(
+            [str(counting_data[i]["caption_id"]) for i in sel], IMAGE_SIZE, ("rmse",)
+        )
+        chunks, cursor = ext._load_snapshot(snapshot_path, fp)
+    resets = 0
+    while cursor < len(sel):
+        try:
+            with ThreadPoolExecutor(max_workers=num_workers) as pool:
+                since = 0
+                for start in range(cursor, len(sel), batch_size):
+                    chunk = sel[start : start + batch_size]
+                    imgs = list(
+                        pool.map(
+                            lambda i: load_image(
+                                os.path.join(image_dir, f"{counting_data[i]['caption_id']}.png"),
+                                (IMAGE_SIZE, IMAGE_SIZE),
+                            ),
+                            chunk,
+                        )
+                    )
+                    preds = engine.count_batch(np.stack(imgs))
+                    chunks.setdefault("rmse", []).append(
+                        np.asarray(
+                            [
+                                rmse_for_item(preds[j], counting_data[i]["counting_info"])
+                                for j, i in enumerate(chunk)
+                            ]
+                        )
+                    )
+                    cursor = start + len(chunk)
+                    since += len(chunk)
+                    if snapshot_path and since >= snapshot_every:
+                        ext._save_snapshot(snapshot_path, fp, chunks, cursor)
+                        since = 0
+            break
+        except Exception as e:  # noqa: BLE001 — filtered to transport errors below
+            from tise_tpu.core.backend import is_backend_drop, reset_backend
+
+            if not snapshot_path or build_engine is None or resets >= 2 or not is_backend_drop(e):
+                raise
+            resets += 1
+            print(f"[ca] backend drop at item {cursor}/{len(sel)} ({e}); "
+                  f"reset {resets}/2, resuming from snapshot", flush=True)
+            reset_backend()
+            engine = build_engine()
+            chunks, cursor = ext._load_snapshot(snapshot_path, fp)
+    if snapshot_path and os.path.exists(snapshot_path):
+        os.remove(snapshot_path)
+    local = np.concatenate(chunks["rmse"]) if chunks.get("rmse") else np.zeros(0)
     rmse = multihost.allgather_rows(local, gidx, n)
     return float(np.mean(rmse))
 
@@ -123,16 +174,22 @@ def main(argv=None) -> None:
     p.add_argument("--result_file", default="", type=str)
     p.add_argument("--weights", type=str, required=True, help="CountSeg coco14.pt or converted .npz")
     p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--snapshot_file", type=str, default="",
+                   help="make the item loop drop-tolerant: periodic rmse+"
+                        "cursor snapshot at this path (bit-equal result)")
     add_precision_flag(p)
     add_distributed_flags(p)
     args = p.parse_args(argv)
     configure_precision(args.precision)
     maybe_init_distributed(args)
 
-    params = counter_lib.load_counter_params(args.weights)
-    engine = CountingEngine(params)
+    build = lambda: CountingEngine(  # noqa: E731 — rebuilt after a backend reset
+        counter_lib.load_counter_params(args.weights)
+    )
+    engine = build()
     counting_data = result_io.load_pickle(args.ct_input_file)
-    ca = compute_ca(counting_data, args.image_dir, engine, batch_size=args.batch_size)
+    ca = compute_ca(counting_data, args.image_dir, engine, batch_size=args.batch_size,
+                    snapshot_path=args.snapshot_file, build_engine=build)
     if args.result_file:
         result_io.write_ca_result(args.result_file, ca)
     print(f"CA = {ca}")

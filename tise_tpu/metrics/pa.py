@@ -69,6 +69,40 @@ def score_phrase(
     return float(np.sum(success)) / n if n else 0.0, n
 
 
+def _load_phrase_snapshot(path: str, fingerprint: str) -> Dict[str, Dict]:
+    """-> completed {phrase: {success, total, score}} or {} when absent/stale."""
+    if not os.path.exists(path):
+        return {}
+    try:
+        with np.load(path, allow_pickle=False) as z:
+            if str(z["fingerprint"]) != fingerprint:
+                return {}
+            return {
+                str(nm): {
+                    "success": float(z["success"][i]),
+                    "total": float(z["total"][i]),
+                    "score": float(z["score"][i]),
+                }
+                for i, nm in enumerate(z["phrases"])
+            }
+    except Exception:  # noqa: BLE001 — torn/corrupt snapshot: start over
+        return {}
+
+
+def _save_phrase_snapshot(path: str, fingerprint: str, phrase_res: Dict[str, Dict]) -> None:
+    names = list(phrase_res)
+    tmp = path + ".tmp.npz"  # np.savez appends .npz to bare names
+    np.savez(
+        tmp,
+        fingerprint=fingerprint,
+        phrases=np.asarray(names),
+        success=np.asarray([phrase_res[n]["success"] for n in names]),
+        total=np.asarray([phrase_res[n]["total"] for n in names]),
+        score=np.asarray([phrase_res[n]["score"] for n in names]),
+    )
+    os.replace(tmp, path)  # atomic: a kill mid-write never leaves a torn file
+
+
 def compute_pa(
     data: Dict[str, Sequence[Dict]],
     image_dir: str,
@@ -77,14 +111,58 @@ def compute_pa(
     *,
     batch_size: int = 64,
     threshold: float = PA_SUCCESS_THRESHOLD,
+    snapshot_path: str = "",
+    build_scorer=None,
 ) -> Tuple[float, Dict[str, Dict]]:
-    phrase_res: Dict[str, Dict] = {}
-    for phrase, items in data.items():
-        score, total = score_phrase(
-            items, os.path.join(image_dir, phrase), scorer, tokenizer, batch_size=batch_size, threshold=threshold
+    """Drop tolerance at phrase granularity (the moral equivalent of SOA's
+    per-label pickles, SOA.py:77-79): completed phrase results snapshot to
+    ``snapshot_path``; a transport drop resets the backend in-process,
+    rebuilds the scorer, and re-runs only the interrupted phrase; a killed
+    process resumes past the completed phrases on re-run."""
+    from tise_tpu.metrics import extractor as ext
+    from tise_tpu.parallel import multihost
+
+    if snapshot_path and multihost.is_distributed():
+        raise NotImplementedError(
+            "PA snapshots are single-process; multi-host runs shard items instead"
         )
+
+    phrase_res: Dict[str, Dict] = {}
+    fp = ""
+    if snapshot_path:
+        fp = ext._snapshot_fingerprint(
+            [f"{p}:{len(items)}" for p, items in data.items()], 224, ("pa",)
+        )
+        phrase_res = _load_phrase_snapshot(snapshot_path, fp)
+        if phrase_res:
+            print(f"[pa] resuming: {len(phrase_res)}/{len(data)} phrases from snapshot", flush=True)
+    resets = 0
+    for phrase, items in data.items():
+        if phrase in phrase_res:
+            continue
+        while True:
+            try:
+                score, total = score_phrase(
+                    items, os.path.join(image_dir, phrase), scorer, tokenizer,
+                    batch_size=batch_size, threshold=threshold,
+                )
+                break
+            except Exception as e:  # noqa: BLE001 — filtered to transport errors below
+                from tise_tpu.core.backend import is_backend_drop, reset_backend
+
+                if not snapshot_path or build_scorer is None or resets >= 2 or not is_backend_drop(e):
+                    raise
+                resets += 1
+                print(f"[pa] backend drop in phrase '{phrase}' ({e}); "
+                      f"reset {resets}/2, re-running the phrase", flush=True)
+                reset_backend()
+                scorer = build_scorer()
         phrase_res[phrase] = {"success": score * total, "total": float(total), "score": score}
         print(phrase, phrase_res[phrase])
+        if snapshot_path:
+            _save_phrase_snapshot(snapshot_path, fp, phrase_res)
+    if snapshot_path and os.path.exists(snapshot_path):
+        os.remove(snapshot_path)
     pa = float(np.mean([phrase_res[p]["score"] for p in phrase_res]))
     return pa, phrase_res
 
@@ -98,6 +176,9 @@ def main(argv=None) -> None:
     p.add_argument("--weights", type=str, required=True, help="CLIP ViT-B/32 weights (.pt/.npz)")
     p.add_argument("--bpe_path", type=str, required=True)
     p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--snapshot_file", type=str, default="",
+                   help="make the phrase loop drop-tolerant: completed-phrase "
+                        "snapshot at this path (bit-equal result)")
     add_precision_flag(p)
     add_distributed_flags(p)
     args = p.parse_args(argv)
@@ -107,9 +188,13 @@ def main(argv=None) -> None:
     from tise_tpu.backbones import clip_vit
 
     data = result_io.load_pickle(args.pa_input_file)
-    scorer = ClipPairScorer(clip_vit.load_params(args.weights), fast=args.precision == "fast")
+    build = lambda: ClipPairScorer(  # noqa: E731 — rebuilt after a backend reset
+        clip_vit.load_params(args.weights), fast=args.precision == "fast"
+    )
+    scorer = build()
     tokenizer = SimpleTokenizer(args.bpe_path)
-    pa, _ = compute_pa(data, args.image_dir, scorer, tokenizer, batch_size=args.batch_size)
+    pa, _ = compute_pa(data, args.image_dir, scorer, tokenizer, batch_size=args.batch_size,
+                       snapshot_path=args.snapshot_file, build_scorer=build)
     if args.saved_file_path is not None:
         result_io.write_pa_result(args.saved_file_path, pa)
     print(f"PA = {pa}")
