@@ -499,3 +499,18 @@ class TestCaSnapshot:
         assert got == oracle
         assert self._StubEngine.calls - calls_before == 1  # resumed at the cursor
         assert not os.path.exists(snap)
+
+
+class TestResetBackend:
+    def test_real_reset_roundtrip_on_cpu(self):
+        """Drives the REAL reset path (native hook + registry re-init +
+        probe) on the CPU backend — the monkeypatched drop tests above never
+        execute it."""
+        status = backend_lib._native_reset()
+        assert isinstance(status, str) and status  # never raises
+        backend_lib.reset_backend(max_wait_s=30)
+        import jax
+        import numpy as np
+
+        x = jax.device_put(np.ones((4,), np.float32))
+        assert float(jax.numpy.sum(x)) == 4.0
