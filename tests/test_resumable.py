@@ -514,3 +514,94 @@ class TestResetBackend:
 
         x = jax.device_put(np.ones((4,), np.float32))
         assert float(jax.numpy.sum(x)) == 4.0
+
+
+class TestRpCubSnapshot:
+    def _world(self, tmp_path, n=12):
+        import sys
+
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from test_metric_logic import _write_indexed_images
+
+        data = [
+            {"caption_id": i, "caption": "this bird has a red wing",
+             "mismatched_captions": ["this bird has a red tail"] * 3}
+            for i in range(n)
+        ]
+        wordtoix = {w: j for j, w in enumerate(
+            ["<end>", "this", "bird", "has", "a", "red", "wing", "tail"])}
+        img_dir = str(tmp_path / "imgs")
+        _write_indexed_images(img_dir, range(n), size=32)
+        return data, img_dir, wordtoix
+
+    class _StubScorer:
+        """Deterministic DAMSM stand-in: item idx%2 ranks the true caption
+        first (images are constant-valued, surviving the 256px resize)."""
+
+        max_len = 16
+
+        def scores(self, images, caps, lens):
+            b, k = caps.shape[0], caps.shape[1]
+            out = np.zeros((b, k))
+            for i in range(b):
+                out[i, 0] = 1.0 if int(images[i, 0, 0, 0]) % 2 == 0 else -1.0
+            return out
+
+    def test_rp_cub_snapshot_parity_after_drop(self, tmp_path, monkeypatch):
+        from tise_tpu.metrics import rp_cub
+
+        data, img_dir, wordtoix = self._world(tmp_path)
+        oracle = rp_cub.compute_rp_cub(data, img_dir, self._StubScorer(), wordtoix, batch_size=4)
+
+        monkeypatch.setattr(backend_lib, "reset_backend", lambda: None)
+        snap = str(tmp_path / "rp_cub.snapshot.npz")
+        fuse = {}
+
+        class Flaky(self._StubScorer):
+            def scores(self, images, caps, lens):
+                if not fuse.get("blown") and int(images[0, 0, 0, 0]) == 8:
+                    fuse["blown"] = True  # 3rd batch: after one snapshot (every 8)
+                    raise RuntimeError("UNAVAILABLE: injected drop")
+                return super().scores(images, caps, lens)
+
+        got = rp_cub.compute_rp_cub(
+            data, img_dir, Flaky(), wordtoix, batch_size=4,
+            snapshot_path=snap, build_scorer=Flaky, snapshot_every=8,
+        )
+        assert got == oracle
+        assert not os.path.exists(snap)
+
+    def test_rp_cub_process_level_resume(self, tmp_path):
+        from tise_tpu.metrics import rp_cub
+
+        data, img_dir, wordtoix = self._world(tmp_path)
+        oracle = rp_cub.compute_rp_cub(data, img_dir, self._StubScorer(), wordtoix, batch_size=4)
+        snap = str(tmp_path / "rp_cub.snapshot.npz")
+
+        class Dies(self._StubScorer):
+            def scores(self, images, caps, lens):
+                if int(images[0, 0, 0, 0]) == 8:
+                    raise RuntimeError("UNAVAILABLE: injected kill")
+                return super().scores(images, caps, lens)
+
+        with pytest.raises(RuntimeError, match="UNAVAILABLE"):
+            rp_cub.compute_rp_cub(
+                data, img_dir, Dies(), wordtoix, batch_size=4,
+                snapshot_path=snap, snapshot_every=8,
+            )
+        assert os.path.exists(snap)
+
+        seen = []
+
+        class Counting(self._StubScorer):
+            def scores(self, images, caps, lens):
+                seen.append(int(images[0, 0, 0, 0]))
+                return super().scores(images, caps, lens)
+
+        got = rp_cub.compute_rp_cub(
+            data, img_dir, Counting(), wordtoix, batch_size=4,
+            snapshot_path=snap, snapshot_every=8,
+        )
+        assert got == oracle
+        assert seen == [8]  # resumed at the cursor, one batch left
+        assert not os.path.exists(snap)

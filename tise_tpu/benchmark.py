@@ -350,7 +350,8 @@ def _cub_plan(args, out: str) -> Plan:
             lambda: rp_cub.main(
                 ["--image_dir", args.images, "--rp_input_file", d("cub_rp_captions"),
                  "--saved_file_path", txt("rp"), "--captions_pickle", d("cub_captions_pickle"),
-                 "--text_encoder", w("damsm_text"), "--image_encoder", w("damsm_image")] + prec + bs_u
+                 "--text_encoder", w("damsm_text"), "--image_encoder", w("damsm_image"),
+                 "--snapshot_file", os.path.join(out, "rp.snapshot.npz")] + prec + bs_u
             ),
             lambda: {"RP": result_io.read_rp_cub_result(txt("rp"))[0] * 100},
             result=txt("rp"),

@@ -157,34 +157,84 @@ def compute_rp_cub(
     legacy_compat: bool = False,
     seed: int = 0,
     num_workers: int = 8,
+    snapshot_path: str = "",
+    build_scorer=None,
+    snapshot_every: int = 0,
 ) -> Tuple[float, float]:
+    """Per-item successes are a PREFIX of the (sharded) item order, so the
+    loop is drop-tolerant the same way CA's is (metrics/ca.py compute_ca):
+    periodic success-rows+cursor snapshots, in-process backend reset +
+    scorer rebuild on a transport drop, process-level resume from the
+    snapshot file."""
+    from tise_tpu.metrics import extractor as ext
     from tise_tpu.parallel import multihost
+
+    if snapshot_path and multihost.is_distributed():
+        raise NotImplementedError(
+            "RP-CUB snapshots are single-process; multi-host runs shard items instead"
+        )
 
     n = len(rp_input)
     sel, gidx = multihost.shard_items(list(range(n)))
-    local = np.zeros(len(sel), dtype=np.float64)
     max_len = scorer.max_len
-    with ThreadPoolExecutor(max_workers=num_workers) as pool:
-        for start in range(0, len(sel), batch_size):
-            chunk = sel[start : start + batch_size]
-            imgs = list(
-                pool.map(
-                    lambda i: load_image(
-                        os.path.join(image_dir, f"{rp_input[i]['caption_id']}.png"), (256, 256)
-                    ),
-                    chunk,
-                )
-            )
-            cap_sets = []
-            for i in chunk:
-                item = rp_input[i]
-                ids = [tokenize_caption(item["caption"], wordtoix)] + [
-                    tokenize_caption(c, wordtoix) for c in item["mismatched_captions"]
-                ]
-                cap_sets.append(ids)
-            caps, lens = pack_caption_sets(cap_sets, max_len)
-            scores = scorer.scores(np.stack(imgs), caps, lens)
-            local[start : start + len(chunk)] = (np.argmax(scores, axis=1) == 0).astype(np.float64)
+    fp = ""
+    chunks: Dict[str, list] = {}
+    cursor = 0
+    snapshot_every = snapshot_every or max(batch_size * 8, 256)
+    if snapshot_path:
+        fp = ext._snapshot_fingerprint(
+            [str(rp_input[i]["caption_id"]) for i in sel], 256, ("rp_cub",)
+        )
+        chunks, cursor = ext._load_snapshot(snapshot_path, fp)
+    resets = 0
+    while cursor < len(sel):
+        try:
+            with ThreadPoolExecutor(max_workers=num_workers) as pool:
+                since = 0
+                for start in range(cursor, len(sel), batch_size):
+                    chunk = sel[start : start + batch_size]
+                    imgs = list(
+                        pool.map(
+                            lambda i: load_image(
+                                os.path.join(image_dir, f"{rp_input[i]['caption_id']}.png"), (256, 256)
+                            ),
+                            chunk,
+                        )
+                    )
+                    cap_sets = []
+                    for i in chunk:
+                        item = rp_input[i]
+                        ids = [tokenize_caption(item["caption"], wordtoix)] + [
+                            tokenize_caption(c, wordtoix) for c in item["mismatched_captions"]
+                        ]
+                        cap_sets.append(ids)
+                    caps, lens = pack_caption_sets(cap_sets, max_len)
+                    scores = scorer.scores(np.stack(imgs), caps, lens)
+                    chunks.setdefault("success", []).append(
+                        (np.argmax(scores, axis=1) == 0).astype(np.float64)
+                    )
+                    cursor = start + len(chunk)
+                    since += len(chunk)
+                    if snapshot_path and since >= snapshot_every:
+                        ext._save_snapshot(snapshot_path, fp, chunks, cursor)
+                        since = 0
+            break
+        except Exception as e:  # noqa: BLE001 — filtered to transport errors below
+            from tise_tpu.core.backend import is_backend_drop, reset_backend
+
+            if not snapshot_path or build_scorer is None or resets >= 2 or not is_backend_drop(e):
+                raise
+            resets += 1
+            print(f"[rp_cub] backend drop at item {cursor}/{len(sel)} ({e}); "
+                  f"reset {resets}/2, resuming from snapshot", flush=True)
+            reset_backend()
+            scorer = build_scorer()
+            chunks, cursor = ext._load_snapshot(snapshot_path, fp)
+    if snapshot_path and os.path.exists(snapshot_path):
+        os.remove(snapshot_path)
+    local = (
+        np.concatenate(chunks["success"]) if chunks.get("success") else np.zeros(0, np.float64)
+    )
     successes = multihost.allgather_rows(local, gidx, n)
 
     bins = legacy_bins(successes, seed) if legacy_compat else equal_bins(successes, seed=seed)
@@ -203,6 +253,9 @@ def main(argv=None) -> None:
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--legacy-compat", action="store_true")
+    p.add_argument("--snapshot_file", type=str, default="",
+                   help="make the item loop drop-tolerant: periodic success+"
+                        "cursor snapshot at this path (bit-equal result)")
     add_precision_flag(p)
     add_distributed_flags(p)
     args = p.parse_args(argv)
@@ -221,7 +274,10 @@ def main(argv=None) -> None:
 
     rnn_params = load(args.text_encoder, damsm.rnn_params_from_torch)
     cnn_params = load(args.image_encoder, damsm.cnn_params_from_torch)
-    scorer = DamsmScorer(rnn_params, cnn_params, ntoken=n_words)
+    build = lambda: DamsmScorer(  # noqa: E731 — rebuilt after a backend reset
+        rnn_params, cnn_params, ntoken=n_words
+    )
+    scorer = build()
     rp_input = result_io.load_pickle(args.rp_input_file)
     mean, std = compute_rp_cub(
         rp_input,
@@ -231,6 +287,8 @@ def main(argv=None) -> None:
         batch_size=args.batch_size,
         legacy_compat=args.legacy_compat,
         seed=args.seed,
+        snapshot_path=args.snapshot_file,
+        build_scorer=build,
     )
     if args.saved_file_path is not None:
         result_io.write_rp_cub_result(args.saved_file_path, mean, std)
