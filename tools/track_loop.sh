@@ -1,0 +1,34 @@
+#!/bin/bash
+# Probe-and-relaunch wrapper for a 30k track run (CLAUDE.md: long runs wrap
+# in a relaunch loop and rely on --resume).  Each attempt is a fresh process
+# (fresh axon client), so a tunnel drop that kills in-process recovery costs
+# one relaunch, not the run.  Usage: tools/track_loop.sh <track> <root> [max_attempts]
+set -u
+TRACK=${1:-coco}
+ROOT=${2:-/tmp/track30k}
+MAX=${3:-8}
+cd "$(dirname "$0")/.."
+for i in $(seq 1 "$MAX"); do
+  RESUME=""
+  [ "$i" -gt 1 ] && RESUME="--resume"
+  [ -d "$ROOT/results" ] && RESUME="--resume"
+  echo "[track_loop] attempt $i/$MAX track=$TRACK root=$ROOT $RESUME" >&2
+  python tools/track_bench.py --track "$TRACK" --root "$ROOT" $RESUME \
+    > "$ROOT.out.json" 2>> "$ROOT.log"
+  rc=$?
+  if [ $rc -eq 0 ]; then
+    echo "[track_loop] attempt $i succeeded" >&2
+    exit 0
+  fi
+  echo "[track_loop] attempt $i failed rc=$rc; probing tunnel before relaunch" >&2
+  for probe in $(seq 1 60); do
+    if timeout 120 python -c "
+import tise_tpu, jax, jax.numpy as jnp
+jnp.ones((8,8)).sum().block_until_ready()" >/dev/null 2>&1; then
+      break
+    fi
+    sleep 20
+  done
+done
+echo "[track_loop] exhausted $MAX attempts" >&2
+exit 1
