@@ -405,6 +405,14 @@ def main(argv: Optional[Sequence[str]] = None) -> Dict[str, float]:
                         "results re-run; crop uses a crop.done sentinel)")
     args = p.parse_args(argv)
 
+    # persistent compile cache: a whole-track run compiles every backbone
+    # once; a relaunched (--resume) run after a tunnel drop should pay
+    # 13-15 s per program, not the 1-5 min cold compile (bench.py sections
+    # already do this; the orchestrator was the last cold caller)
+    from tise_tpu.core import compile_cache
+
+    compile_cache.enable()
+
     out = os.path.join(args.output_root, args.method_name)
     os.makedirs(out, exist_ok=True)
     # stamp the result-affecting flags so --resume cannot silently mix stage

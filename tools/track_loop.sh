@@ -16,9 +16,23 @@ for i in $(seq 1 "$MAX"); do
   python tools/track_bench.py --track "$TRACK" --root "$ROOT" $RESUME \
     > "$ROOT.out.json" 2>> "$ROOT.log"
   rc=$?
+  # exit 0 alone is not success: a drop that exhausts in-stage recovery
+  # leaves stages FAILed but the orchestrator still exits cleanly with a
+  # partial values dict — verify the summary line carries every metric.
   if [ $rc -eq 0 ]; then
-    echo "[track_loop] attempt $i succeeded" >&2
-    exit 0
+    want=9
+    [ "$TRACK" = "cub" ] && want=3
+    if python - "$ROOT.out.json" "$want" <<'EOF'
+import json, sys
+last = [l for l in open(sys.argv[1]) if l.strip().startswith("{")][-1]
+vals = json.loads(last)["values"]
+sys.exit(0 if len(vals) >= int(sys.argv[2]) else 1)
+EOF
+    then
+      echo "[track_loop] attempt $i succeeded (all values present)" >&2
+      exit 0
+    fi
+    echo "[track_loop] attempt $i exited 0 but values incomplete; resuming" >&2
   fi
   echo "[track_loop] attempt $i failed rc=$rc; probing tunnel before relaunch" >&2
   for probe in $(seq 1 60); do
